@@ -1,0 +1,50 @@
+"""CLI: evaluate a trained scene checkpoint, or compare renders offline.
+
+  python eval.py [--config exp/config.json] key=value ...
+  python eval.py --offline <gt_image_dir> <pred_dir> [out.txt]
+
+Replaces `mipnerf360/eval.py`, `nerfplusplus/ddp_test_nerf.py`, and the
+shared `utils/eval.py` of the reference.
+"""
+
+import os
+import sys
+
+
+def main(argv):
+    if argv and argv[0] == "--offline":
+        from outdoor_nerf_depth_tpu.train.offline_eval import evaluate_renders
+
+        gt_dir, pred_dir = argv[1], argv[2]
+        out = argv[3] if len(argv) > 3 else None
+        evaluate_renders(gt_dir, pred_dir, out_path=out)
+        return
+
+    import jax
+
+    from outdoor_nerf_depth_tpu.train import checkpoints as ckpt_lib
+    from outdoor_nerf_depth_tpu.train import step as step_lib
+    from outdoor_nerf_depth_tpu.train.config import load_config
+    from outdoor_nerf_depth_tpu.train.loop import evaluate
+
+    path = None
+    overrides = []
+    it = iter(argv)
+    for arg in it:
+        if arg == "--config":
+            path = next(it)
+        else:
+            overrides.append(arg)
+    config = load_config(path, overrides)
+
+    _, state = step_lib.init_state(config, jax.random.PRNGKey(config.seed))
+    ckpt = ckpt_lib.CheckpointManager(
+        os.path.join(config.exp_dir, "checkpoints"), keep=config.keep_checkpoints
+    )
+    state, step = ckpt.restore(state)
+    print(f"restored step {step}")
+    evaluate(config, state)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,286 @@
+"""Camera models, pixel->ray casting with cone radii, pose normalization.
+
+Capability parity with the reference camera layer
+(`/root/reference/nerf-methods/mipnerf360/internal/camera_utils.py`): pinhole
+and fisheye projection, iterative radial/tangential undistortion, mip-NeRF
+ray differentials, pose recentering and PCA normalization (the source of the
+scene `scale` that multiplies every depth map), and render-path generation.
+
+Works in numpy on the host pipeline and jnp inside jit (pass `xnp`), matching
+the reference's deferred `cast_rays_in_train_step` fast path.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+import numpy as np
+
+from outdoor_nerf_depth_tpu.data import rays as rays_lib
+
+_OPENCV_TO_OPENGL3 = np.diag([1.0, -1.0, -1.0])
+
+
+def intrinsics_matrix(fx, fy, cx, cy, xnp=np):
+    """[3,3] pinhole intrinsics in OpenCV pixel convention."""
+    return xnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+
+
+def pinhole_pixtocam(focal, width, height, xnp=np):
+    """Inverse intrinsics of an ideal centered pinhole."""
+    return xnp.linalg.inv(intrinsics_matrix(focal, focal, 0.5 * width, 0.5 * height, xnp))
+
+
+def pixel_grid(width: int, height: int, xnp=np):
+    """Integer (x, y) coordinate grids, shape [height, width] each."""
+    return xnp.meshgrid(xnp.arange(width), xnp.arange(height), indexing="xy")
+
+
+def _undistort(xd, yd, dist: Mapping[str, float], xnp=np, iters: int = 10):
+    """Invert the OpenCV radial(k1..k4)/tangential(p1,p2) model by Newton steps."""
+    k1 = dist.get("k1", 0.0)
+    k2 = dist.get("k2", 0.0)
+    k3 = dist.get("k3", 0.0)
+    k4 = dist.get("k4", 0.0)
+    p1 = dist.get("p1", 0.0)
+    p2 = dist.get("p2", 0.0)
+    x, y = xd, yd
+    for _ in range(iters):
+        r = x * x + y * y
+        d = 1.0 + r * (k1 + r * (k2 + r * (k3 + r * k4)))
+        fx = d * x + 2 * p1 * x * y + p2 * (r + 2 * x * x) - xd
+        fy = d * y + 2 * p2 * x * y + p1 * (r + 2 * y * y) - yd
+        d_r = k1 + r * (2 * k2 + r * (3 * k3 + r * 4 * k4))
+        fx_x = d + 2 * x * x * d_r + 2 * p1 * y + 6 * p2 * x
+        fx_y = 2 * x * y * d_r + 2 * p1 * x + 2 * p2 * y
+        fy_x = 2 * x * y * d_r + 2 * p2 * y + 2 * p1 * x
+        fy_y = d + 2 * y * y * d_r + 2 * p2 * x + 6 * p1 * y
+        det = fy_x * fx_y - fx_x * fy_y
+        safe = xnp.abs(det) > 1e-9
+        x = x + xnp.where(safe, (fx * fy_y - fy * fx_y) / det, 0.0)
+        y = y + xnp.where(safe, (fy * fx_x - fx * fy_x) / det, 0.0)
+    return x, y
+
+
+def pixels_to_rays(
+    pix_x,
+    pix_y,
+    pixtocams,
+    camtoworlds,
+    distortion: Optional[Mapping[str, float]] = None,
+    camtype: str = "perspective",
+    xnp=np,
+):
+    """Cast rays through pixel centers, with mip-NeRF cone radii.
+
+    Vectorized over leading dims of pix_x/pix_y; pixtocams [.., 3, 3] and
+    camtoworlds [.., 3, 4] broadcast against them. Returns
+    (origins, directions, viewdirs, radii, imageplane). The cone radius is
+    the half mean offset to the +x/+y neighbor directions scaled by 2/sqrt(12)
+    — the variance match to a pixel-wide box (reference
+    `camera_utils.py:627-629`).
+    """
+    # Shoot through pixel centers, plus the two neighbor rays for footprints.
+    mk = lambda x, y: xnp.stack([x + 0.5, y + 0.5, xnp.ones_like(x)], axis=-1)
+    trio = xnp.stack([mk(pix_x, pix_y), mk(pix_x + 1, pix_y), mk(pix_x, pix_y + 1)])
+
+    if xnp is np:
+        mat_vec = lambda A, v: (A @ v[..., None])[..., 0]
+    else:
+        import jax
+
+        mat_vec = lambda A, v: xnp.matmul(
+            A, v[..., None], precision=jax.lax.Precision.HIGHEST
+        )[..., 0]
+
+    cam_dirs = mat_vec(pixtocams, trio)
+
+    if distortion is not None:
+        ux, uy = _undistort(cam_dirs[..., 0], cam_dirs[..., 1], distortion, xnp=xnp)
+        cam_dirs = xnp.stack([ux, uy, xnp.ones_like(ux)], axis=-1)
+
+    if camtype == "fisheye":
+        theta = xnp.minimum(
+            xnp.pi, xnp.sqrt(xnp.sum(xnp.square(cam_dirs[..., :2]), axis=-1))
+        )
+        sinc = xnp.sin(theta) / theta
+        cam_dirs = xnp.stack(
+            [cam_dirs[..., 0] * sinc, cam_dirs[..., 1] * sinc, xnp.cos(theta)],
+            axis=-1,
+        )
+
+    cam_dirs = cam_dirs @ xnp.asarray(_OPENCV_TO_OPENGL3)
+    imageplane = cam_dirs[0, ..., :2]
+
+    world_dirs = mat_vec(camtoworlds[..., :3, :3], cam_dirs)
+    directions, dx, dy = world_dirs[0], world_dirs[1], world_dirs[2]
+    origins = xnp.broadcast_to(camtoworlds[..., :3, -1], directions.shape)
+    viewdirs = directions / xnp.linalg.norm(directions, axis=-1, keepdims=True)
+
+    dx_norm = xnp.linalg.norm(dx - directions, axis=-1)
+    dy_norm = xnp.linalg.norm(dy - directions, axis=-1)
+    radii = (0.5 * (dx_norm + dy_norm))[..., None] * (2.0 / xnp.sqrt(12.0))
+    return origins, directions, viewdirs, radii, imageplane
+
+
+def cast_pixels(pixels: rays_lib.Pixels, cameras, camtype="perspective", xnp=np):
+    """Pixels -> Rays given stacked per-camera (pixtocams, camtoworlds, dist).
+
+    `cameras` is (pixtocams [N,3,3], camtoworlds [N,3,4], distortion-or-None).
+    Runs on numpy in the host loader or on jnp inside the train step.
+    """
+    pixtocams, camtoworlds, distortion = cameras
+    cam_idx = pixels.cam_idx[..., 0]
+    gather = lambda arr: arr if arr.ndim == 2 else arr[cam_idx]
+    origins, directions, viewdirs, radii, imageplane = pixels_to_rays(
+        pixels.pix_x,
+        pixels.pix_y,
+        gather(pixtocams),
+        gather(camtoworlds),
+        distortion=distortion,
+        camtype=camtype,
+        xnp=xnp,
+    )
+    return rays_lib.Rays(
+        origins=origins,
+        directions=directions,
+        viewdirs=viewdirs,
+        radii=radii,
+        imageplane=imageplane,
+        lossmult=pixels.lossmult,
+        near=pixels.near,
+        far=pixels.far,
+        cam_idx=pixels.cam_idx,
+        exposure_idx=pixels.exposure_idx,
+        exposure_values=pixels.exposure_values,
+    )
+
+
+# --------------------------------------------------------------------------
+# Pose normalization. The `scale` these produce folds into every depth map
+# (the #1 correctness trap flagged in SURVEY.md section 7).
+# --------------------------------------------------------------------------
+
+
+def pad_pose(p: np.ndarray) -> np.ndarray:
+    bottom = np.broadcast_to([0, 0, 0, 1.0], p[..., :1, :4].shape)
+    return np.concatenate([p[..., :3, :4], bottom], axis=-2)
+
+
+def average_pose(poses: np.ndarray) -> np.ndarray:
+    """Mean camera: average position, mean viewing direction, mean up."""
+    position = poses[:, :3, 3].mean(0)
+    z = _normalize(poses[:, :3, 2].mean(0))
+    up = poses[:, :3, 1].mean(0)
+    return view_matrix(z, up, position)
+
+
+def view_matrix(lookdir, up, position) -> np.ndarray:
+    """Camera-to-world from forward/up/position (OpenGL convention)."""
+    z = _normalize(lookdir)
+    x = _normalize(np.cross(up, z))
+    y = _normalize(np.cross(z, x))
+    return np.stack([x, y, z, position], axis=1)
+
+
+def _normalize(v):
+    return v / np.linalg.norm(v)
+
+
+def recenter_poses(poses: np.ndarray):
+    """Recenter onto the average pose. Returns (new_poses, transform[4,4])."""
+    cam2world = average_pose(poses)
+    transform = np.linalg.inv(pad_pose(cam2world[None])[0])
+    poses = transform @ pad_pose(poses)
+    return poses[..., :3, :4], transform
+
+
+def normalize_poses_pca(poses: np.ndarray):
+    """Align principal axes of camera positions with XYZ, fit to unit cube.
+
+    Returns (poses [N,3,4], transform [4,4]). `transform` maps original world
+    coordinates to normalized coordinates; its isotropic scale (the per-axis
+    norm of the linear block) is the factor by which all metric depths must
+    be multiplied to live in the normalized scene — exposed via
+    `pose_scale(transform)`. Matches reference `transform_poses_pca`
+    (`camera_utils.py:191-227`) including the y-up disambiguation flip.
+    """
+    t = poses[:, :3, 3]
+    t_mean = t.mean(axis=0)
+    centered = t - t_mean
+
+    eigval, eigvec = np.linalg.eig(centered.T @ centered)
+    order = np.argsort(eigval)[::-1]
+    rot = np.real(eigvec[:, order]).T
+    if np.linalg.det(rot) < 0:
+        rot = np.diag([1.0, 1.0, -1.0]) @ rot
+
+    transform = np.concatenate([rot, rot @ -t_mean[:, None]], -1)
+    new_poses = (pad_pose(transform[None])[0] @ pad_pose(poses))[:, :3, :4]
+    transform = np.concatenate([transform, np.eye(4)[3:]], axis=0)
+
+    # Disambiguate the sign so the mean camera-up has +z.
+    if new_poses.mean(axis=0)[2, 1] < 0:
+        flip = np.diag([1.0, -1.0, -1.0])
+        new_poses = flip @ new_poses
+        transform = np.diag([1.0, -1.0, -1.0, 1.0]) @ transform
+
+    scale = 1.0 / np.max(np.abs(new_poses[:, :3, 3]))
+    new_poses[:, :3, 3] *= scale
+    transform = np.diag([scale] * 3 + [1.0]) @ transform
+    return new_poses, transform
+
+
+def pose_scale(transform: np.ndarray) -> float:
+    """Isotropic scale of a normalization transform (metric -> scene units)."""
+    return float(np.sqrt((transform[:3, :3] @ transform[:3, :3].T)[0, 0]))
+
+
+def normalize_poses_min_norm(poses: np.ndarray, points: Optional[np.ndarray] = None):
+    """NGP-style online normalization: center then divide by min camera norm.
+
+    Matches the reference ColmapDataset convention
+    (`ngp-depth/datasets/colmap.py:110-121`): recenter poses (optionally using
+    the sparse point cloud centroid), then scale so the nearest camera sits at
+    unit distance. Returns (poses, scale) — depths divide by `scale`.
+    """
+    center = points.mean(0) if points is not None and len(points) else poses[:, :3, 3].mean(0)
+    out = poses.copy()
+    out[:, :3, 3] -= center
+    scale = float(np.linalg.norm(out[:, :3, 3], axis=-1).min())
+    out[:, :3, 3] /= scale
+    return out, scale
+
+
+def generate_ellipse_path(
+    poses: np.ndarray,
+    n_frames: int = 120,
+    z_variation: float = 0.0,
+    z_phase: float = 0.0,
+) -> np.ndarray:
+    """Inward-facing elliptical render path through the camera ring."""
+    center = focus_point(poses) * np.array([1.0, 1.0, 0.0])
+    offset = np.array([center[0], center[1], 0.0])
+    sc = np.percentile(np.abs(poses[:, :3, 3] - offset), 90, axis=0)
+    zlo, zhi = np.percentile(poses[:, :3, 3], [10, 90], axis=0)
+
+    theta = np.linspace(0, 2 * np.pi, n_frames, endpoint=False)
+    positions = np.stack(
+        [
+            sc[0] * np.cos(theta) + offset[0],
+            sc[1] * np.sin(theta) + offset[1],
+            z_variation
+            * (zlo[2] + (zhi - zlo)[2] * (np.cos(theta + 2 * np.pi * z_phase) * 0.5 + 0.5)),
+        ],
+        axis=-1,
+    )
+    avg_up = _normalize(poses[:, :3, 1].sum(0))
+    return np.stack([view_matrix(p - center, avg_up, p) for p in positions])
+
+
+def focus_point(poses: np.ndarray) -> np.ndarray:
+    """Least-squares closest point to all camera optical axes."""
+    directions, origins = poses[:, :3, 2:3], poses[:, :3, 3:4]
+    m = np.eye(3) - directions * np.transpose(directions, [0, 2, 1])
+    mt_m = np.transpose(m, [0, 2, 1]) @ m
+    return np.squeeze(-np.linalg.inv(mt_m.mean(0)) @ (mt_m @ -origins).mean(0))

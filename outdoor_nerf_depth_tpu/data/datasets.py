@@ -1,0 +1,421 @@
+"""Scene datasets and the host-sharded random ray batcher.
+
+Capability parity with the reference's three data layers:
+
+* mip-style COLMAP driving scenes (KITTI/Argoverse "DTU_format":
+  `sparse/0` + `images/` + `depths_gt/` + `depths_<sup_type>/`) with the
+  exact depth-decode contract of
+  `/root/reference/nerf-methods/mipnerf360/internal/datasets.py:617-784`:
+  uint16 PNG / 256, values < 2 m invalid (negative), optional crop-range and
+  keep-ratio filters, PCA pose normalization whose scale multiplies depths;
+* the NeRF++ per-image txt layout (`nerfplusplus/data_loader_split.py:27-129`)
+  with its `scale` file and `min_depth` maps;
+* an in-memory synthetic fixture (the `DummyDataset` pattern of
+  `mipnerf360/tests/datasets_test.py:25-60`) for tests without data on disk.
+
+TPU-first: batches are built in numpy on the host, sliced per
+`jax.process_index()` (each host owns an equal shard of the global batch),
+and ray casting is deferred to the device inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Optional
+
+import numpy as np
+
+from outdoor_nerf_depth_tpu.data import cameras as cameras_lib
+from outdoor_nerf_depth_tpu.data import colmap
+from outdoor_nerf_depth_tpu.data import rays as rays_lib
+
+_INVALID_DEPTH = -1.0
+
+
+def load_image(path: str) -> np.ndarray:
+    """Load an image as float32 numpy; uint16 PNGs keep raw values."""
+    from PIL import Image as PILImage
+
+    with PILImage.open(path) as im:
+        arr = np.asarray(im)
+    return arr.astype(np.float32)
+
+
+def decode_depth_png(
+    raw: np.ndarray,
+    scene_scale: float,
+    invalid_below: float = 2.0,
+    crop_range: float = 0.0,
+    keep_ratio: float = 0.0,
+    seed: int = 0,
+) -> np.ndarray:
+    """KITTI-convention uint16 depth decode with validity filtering.
+
+    raw/256 is metres; raw < `invalid_below` marks no-return pixels. Invalid
+    pixels become negative (so `depth > 0` masks remain valid after any
+    positive rescale). `crop_range` (metres) invalidates far returns;
+    `keep_ratio` keeps a deterministic random subset of valid pixels with
+    total-image density `keep_ratio`. Finally everything valid is multiplied
+    by `scene_scale` (the pose-normalization scale).
+    """
+    depth = raw.astype(np.float32)
+    invalid = depth < invalid_below
+    depth = depth / 256.0
+    if crop_range > 0:
+        invalid |= depth > crop_range
+    if keep_ratio > 0:
+        valid_frac = np.count_nonzero(~invalid) / depth.size
+        if keep_ratio >= valid_frac:
+            raise ValueError(
+                f"keep_ratio {keep_ratio} >= available density {valid_frac:.4f}"
+            )
+        rng = np.random.RandomState(seed)
+        keep = rng.uniform(size=depth.shape) < (keep_ratio / valid_frac)
+        invalid |= ~keep
+    depth = depth * scene_scale
+    depth[invalid] = _INVALID_DEPTH
+    return depth
+
+
+def split_indices(n_images: int, split: str, sample_every: int = 1):
+    """The reference's view split: test = every 10th image starting at 9.
+
+    Train is the complement subsampled by `sample_every` (sparse-view
+    protocol; `internal/datasets.py:741-760` and
+    `ngp-depth/datasets/colmap.py:173-198` share this rule).
+    """
+    test = list(range(9, n_images, 10))
+    if split == "test":
+        return np.array(test, dtype=np.int32)
+    train = sorted(set(range(n_images)) - set(test))
+    return np.array(train[::max(1, sample_every)], dtype=np.int32)
+
+
+class RayDataset:
+    """Base: holds per-image tensors, serves random-pixel train batches.
+
+    Subclasses populate (in __init__ before calling `_finalize`):
+      images [N,H,W,3] float in [0,1]; camtoworlds [N,3,4]; pixtocams
+      [3,3] or [N,3,3]; distortion dict|None; camtype; near/far floats;
+      depth_gt / depth_sup [N,H,W] (invalid <= 0) or None; min_depth
+      [N,H,W] or None (NeRF++ per-ray near bound).
+    """
+
+    images: np.ndarray
+    camtoworlds: np.ndarray
+    pixtocams: np.ndarray
+    distortion = None
+    camtype: str = "perspective"
+    near: float = 0.1
+    far: float = 100.0
+    depth_gt: Optional[np.ndarray] = None
+    depth_sup: Optional[np.ndarray] = None
+    min_depth: Optional[np.ndarray] = None
+    scene_scale: float = 1.0
+
+    def __init__(self, split: str, global_batch_size: int, cast_on_device: bool = True):
+        self.split = split
+        self.cast_on_device = cast_on_device
+        import jax
+
+        self._process_index = jax.process_index()
+        self._process_count = jax.process_count()
+        if global_batch_size % self._process_count:
+            raise ValueError(
+                f"global batch {global_batch_size} not divisible by "
+                f"{self._process_count} processes"
+            )
+        self.batch_size = global_batch_size // self._process_count
+        self._rng = np.random.default_rng(20230717 + self._process_index)
+
+    def _finalize(self):
+        self.n_images, self.height, self.width = self.images.shape[:3]
+        self.cameras = (
+            self.pixtocams.astype(np.float32),
+            self.camtoworlds.astype(np.float32),
+            self.distortion,
+        )
+
+    # -- batch construction ------------------------------------------------
+
+    def _gather(self, cam_idx, py, px) -> rays_lib.Batch:
+        pixels = rays_lib.Pixels(
+            pix_x=px.astype(np.float32),
+            pix_y=py.astype(np.float32),
+            cam_idx=cam_idx[..., None].astype(np.int32),
+            lossmult=np.ones(px.shape + (1,), np.float32),
+            near=np.full(px.shape + (1,), self.near, np.float32),
+            far=np.full(px.shape + (1,), self.far, np.float32),
+        )
+        rays = (
+            pixels
+            if (self.cast_on_device and self.split == "train")
+            else cameras_lib.cast_pixels(pixels, self.cameras, self.camtype)
+        )
+        pick = lambda a: None if a is None else a[cam_idx, py, px]
+        return rays_lib.Batch(
+            rays=rays,
+            rgb=self.images[cam_idx, py, px],
+            depth_gt=pick(self.depth_gt),
+            depth_sup=pick(self.depth_sup),
+        )
+
+    def sample_batch(self) -> rays_lib.Batch:
+        """Random rays across all images — this host's shard of the batch."""
+        n = self.batch_size
+        cam_idx = self._rng.integers(0, self.n_images, (n,))
+        px = self._rng.integers(0, self.width, (n,))
+        py = self._rng.integers(0, self.height, (n,))
+        return self._gather(cam_idx, py, px)
+
+    def image_batch(self, idx: int) -> rays_lib.Batch:
+        """All rays of one image (always host-cast: eval path)."""
+        px, py = cameras_lib.pixel_grid(self.width, self.height)
+        cam_idx = np.full(px.shape, idx, np.int32)
+        was = self.cast_on_device
+        self.cast_on_device = False
+        try:
+            return self._gather(cam_idx, py, px)
+        finally:
+            self.cast_on_device = was
+
+    def __iter__(self):
+        while True:
+            yield self.sample_batch()
+
+
+class PrefetchIterator:
+    """Daemon-thread prefetch with a bounded queue (depth 3, as reference)."""
+
+    def __init__(self, make_batch, depth: int = 3):
+        self._queue = queue.Queue(depth)
+        self._make = make_batch
+        # Seed one batch synchronously so consumers never race the thread.
+        self._queue.put(self._make())
+        t = threading.Thread(target=self._run, daemon=True)
+        t.start()
+
+    def _run(self):
+        while True:
+            self._queue.put(self._make())
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._queue.get()
+
+
+class SyntheticDataset(RayDataset):
+    """In-memory random scene: the no-disk test/benchmark fixture."""
+
+    def __init__(
+        self,
+        split: str = "train",
+        global_batch_size: int = 128,
+        n_images: int = 4,
+        height: int = 8,
+        width: int = 12,
+        with_depth: bool = True,
+        seed: int = 0,
+        cast_on_device: bool = True,
+    ):
+        super().__init__(split, global_batch_size, cast_on_device)
+        rng = np.random.default_rng(seed)
+        self.images = rng.uniform(size=(n_images, height, width, 3)).astype(np.float32)
+        # Cameras on a ring looking inward at the origin.
+        poses = []
+        for i in range(n_images):
+            ang = 2 * np.pi * i / n_images
+            pos = np.array([np.cos(ang), np.sin(ang), 0.3]) * 0.5
+            poses.append(cameras_lib.view_matrix(pos, np.array([0.0, 0, 1]), pos))
+        self.camtoworlds = np.stack(poses).astype(np.float32)
+        self.pixtocams = cameras_lib.pinhole_pixtocam(
+            focal=width * 1.2, width=width, height=height
+        ).astype(np.float32)
+        self.near, self.far = 0.05, 10.0
+        if with_depth:
+            d = rng.uniform(1.0, 8.0, (n_images, height, width)).astype(np.float32)
+            mask = rng.uniform(size=d.shape) < 0.7
+            self.depth_gt = np.where(mask, d, _INVALID_DEPTH).astype(np.float32)
+            self.depth_sup = np.where(
+                mask, d + rng.normal(0, 0.05, d.shape), _INVALID_DEPTH
+            ).astype(np.float32)
+        self._finalize()
+
+
+class DrivingSceneDataset(RayDataset):
+    """COLMAP driving scene in the reference's DTU_format layout.
+
+    scene_dir/
+      sparse/0/{cameras,images,points3D}.{bin,txt}
+      images[_<factor>]/*.png
+      depths_gt[_<factor>]/*.png          (uint16, /256 -> metres)
+      depths_<sup_type>[_<factor>]/*.png  (the depth prior under supervision)
+    """
+
+    def __init__(
+        self,
+        scene_dir: str,
+        split: str,
+        global_batch_size: int,
+        near: float = 0.1,
+        far: float = 150.0,
+        factor: int = 0,
+        depth_sup_type: str = "gt",
+        sample_every: int = 1,
+        depth_crop_range: float = 0.0,
+        depth_keep_ratio: float = 0.0,
+        auto_adjust_near_far: bool = True,
+        load_depth: bool = True,
+        cast_on_device: bool = True,
+    ):
+        super().__init__(split, global_batch_size, cast_on_device)
+        suffix = f"_{factor}" if factor > 0 else ""
+
+        names, poses, pixtocam, distortion, camtype, _ = colmap.load_scene(
+            os.path.join(scene_dir, "sparse/0")
+        )
+        order = np.argsort(names)
+        names = [names[i] for i in order]
+        poses = poses[order][:, :3, :4]
+
+        if factor > 0:
+            pixtocam = pixtocam @ np.diag([factor, factor, 1.0])
+        self.pixtocams = pixtocam.astype(np.float32)
+        self.distortion = distortion
+        self.camtype = camtype
+
+        image_dir = os.path.join(scene_dir, "images" + suffix)
+        colmap_files = sorted(os.listdir(os.path.join(scene_dir, "images")))
+        image_files = sorted(os.listdir(image_dir))
+        to_image = dict(zip(colmap_files, image_files))
+        images = np.stack(
+            [load_image(os.path.join(image_dir, to_image[n])) for n in names]
+        )
+        self.images = (images / 255.0).astype(np.float32)
+
+        poses, transform = cameras_lib.normalize_poses_pca(poses)
+        scale = cameras_lib.pose_scale(transform)
+        self.scene_scale = scale
+        self.world_transform = transform
+        if auto_adjust_near_far:
+            near, far = near * scale, far * scale
+        self.near, self.far = near, far
+
+        depth_gt = depth_sup = None
+        if load_depth:
+            def load_depth_dir(dirname, crop=0.0, keep=0.0):
+                ddir = os.path.join(scene_dir, dirname)
+                dfiles = sorted(os.listdir(ddir))
+                to_depth = dict(zip(colmap_files, dfiles))
+                return np.stack(
+                    [
+                        decode_depth_png(
+                            load_image(os.path.join(ddir, to_depth[n])),
+                            scene_scale=scale,
+                            crop_range=crop,
+                            keep_ratio=keep,
+                        )
+                        for n in names
+                    ]
+                )
+
+            depth_gt = load_depth_dir("depths_gt" + suffix)
+            depth_sup = load_depth_dir(
+                f"depths{suffix}_{depth_sup_type}"
+                if os.path.isdir(os.path.join(scene_dir, f"depths{suffix}_{depth_sup_type}"))
+                else f"depths_{depth_sup_type}" + suffix,
+                crop=depth_crop_range,
+                keep=depth_keep_ratio,
+            )
+
+        idx = split_indices(len(names), split, sample_every)
+        self.images = self.images[idx]
+        self.camtoworlds = poses[idx].astype(np.float32)
+        self.depth_gt = None if depth_gt is None else depth_gt[idx]
+        self.depth_sup = None if depth_sup is None else depth_sup[idx]
+        self._finalize()
+
+
+class NerfppSceneDataset(RayDataset):
+    """NeRF++ per-image txt layout (unit-sphere-normalized cameras).
+
+    scene_dir/<split>/{intrinsics,pose}/*.txt + rgb/ + depth/ +
+    depth_<sup_type>/ + min_depth/ + ../scale. Depths are /256 * scale
+    (`nerf_sample_ray_split.py:94-102`); min-depth PNGs are /255 * max_depth.
+    Poses stay in OpenCV axes — ray casting flips per-loader.
+    """
+
+    def __init__(
+        self,
+        scene_dir: str,
+        split: str,
+        global_batch_size: int,
+        skip: int = 1,
+        depth_sup_type: str = "gt",
+        max_depth_default: float = 100.0,
+        cast_on_device: bool = True,
+    ):
+        super().__init__(split, global_batch_size, cast_on_device)
+        split_dir = os.path.join(scene_dir, split)
+        read_mats = lambda sub: [
+            np.loadtxt(os.path.join(split_dir, sub, f)).reshape(4, 4)
+            for f in sorted(os.listdir(os.path.join(split_dir, sub)))[::skip]
+        ]
+        intrinsics = read_mats("intrinsics")
+        poses = read_mats("pose")
+
+        rgb_dir = os.path.join(split_dir, "rgb")
+        rgb_files = sorted(os.listdir(rgb_dir))[::skip]
+        self.images = np.stack(
+            [load_image(os.path.join(rgb_dir, f)) / 255.0 for f in rgb_files]
+        ).astype(np.float32)
+
+        # OpenCV c2w -> OpenGL c2w (flip y, z columns) for the shared caster.
+        flip = np.diag([1.0, -1.0, -1.0])
+        self.camtoworlds = np.stack(
+            [np.concatenate([p[:3, :3] @ flip, p[:3, 3:4]], -1) for p in poses]
+        ).astype(np.float32)
+        self.pixtocams = np.stack(
+            [np.linalg.inv(k[:3, :3]) for k in intrinsics]
+        ).astype(np.float32)
+
+        scale_file = os.path.join(scene_dir, "scale")
+        self.scene_scale = (
+            float(open(scale_file).read().split()[0]) if os.path.exists(scale_file) else 1.0
+        )
+
+        def load_depths(sub):
+            d = os.path.join(split_dir, sub)
+            if not os.path.isdir(d):
+                return None
+            files = sorted(os.listdir(d))[::skip]
+            out = np.stack([load_image(os.path.join(d, f)) for f in files])
+            out = out / 256.0 * self.scene_scale
+            out[out <= 0] = _INVALID_DEPTH
+            return out.astype(np.float32)
+
+        self.depth_gt = load_depths("depth")
+        sup_sub = "depth" if depth_sup_type == "gt" else f"depth_{depth_sup_type}"
+        self.depth_sup = load_depths(sup_sub)
+
+        max_depth_file = os.path.join(split_dir, "max_depth.txt")
+        max_depth = (
+            float(open(max_depth_file).read().strip())
+            if os.path.exists(max_depth_file)
+            else max_depth_default
+        )
+        md_dir = os.path.join(split_dir, "min_depth")
+        if os.path.isdir(md_dir):
+            files = sorted(os.listdir(md_dir))[::skip]
+            self.min_depth = np.stack(
+                [
+                    load_image(os.path.join(md_dir, f)) / 255.0 * max_depth + 1e-4
+                    for f in files
+                ]
+            ).astype(np.float32)
+        self.near, self.far = 1e-4, 2.0  # Unit-sphere scene: fg far ~ sphere exit.
+        self._finalize()

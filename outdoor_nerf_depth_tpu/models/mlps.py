@@ -1,0 +1,180 @@
+"""Field MLPs: the cone-Gaussian IPE MLP and the classic PE point MLP.
+
+Capability parity with the reference fields
+(`/root/reference/nerf-methods/mipnerf360/internal/models.py:342-613` and
+`nerfplusplus/nerf_network.py:11-142`), with TPU-minded choices:
+
+* a `compute_dtype` knob runs the dense stack in bfloat16 on the MXU while
+  keeping params and the density/rgb heads in f32;
+* the density-path matmuls are batched over rays*samples as one [N, C] GEMM
+  (flax Dense broadcasting), so XLA tiles them onto the 128x128 MXU;
+* no vmapped per-point `value_and_grad` (analytic normals are off by default
+  for outdoor scenes, as in the reference's KITTI configs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from outdoor_nerf_depth_tpu.ops import spaces
+
+
+class ConeFieldMLP(nn.Module):
+    """IPE MLP over frustum Gaussians (prop/nerf field of mip-NeRF 360)."""
+
+    net_depth: int = 8
+    net_width: int = 256
+    bottleneck_width: int = 256
+    net_depth_viewdirs: int = 1
+    net_width_viewdirs: int = 128
+    skip_layer: int = 4
+    skip_layer_dir: int = 4
+    min_deg_point: int = 0
+    max_deg_point: int = 12
+    deg_view: int = 4
+    density_bias: float = -1.0
+    density_noise: float = 0.0
+    rgb_premultiplier: float = 1.0
+    rgb_bias: float = 0.0
+    rgb_padding: float = 0.001
+    bottleneck_noise: float = 0.0
+    warp: Optional[str] = None  # 'contract' tracks Gaussians through contraction
+    basis_shape: str = "icosahedron"
+    basis_subdivisions: int = 2
+    disable_rgb: bool = False
+    num_glo_features: int = 0
+    compute_dtype: Any = jnp.float32
+
+    def _dense(self, feats, name=None):
+        return nn.Dense(
+            feats,
+            kernel_init=jax.nn.initializers.he_uniform(),
+            dtype=self.compute_dtype,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        rng,
+        means: jax.Array,  # [..., S, 3]
+        covs: jax.Array,  # [..., S, 3, 3]
+        viewdirs: Optional[jax.Array] = None,  # [..., 3]
+        glo_vec: Optional[jax.Array] = None,
+    ):
+        basis = spaces.sphere_basis(self.basis_shape, self.basis_subdivisions)
+
+        if self.warp == "contract":
+            means, covs = spaces.track_gaussian(spaces.contract, means, covs)
+        elif self.warp is not None:
+            raise ValueError(f"unknown warp {self.warp!r}")
+
+        lifted_means, lifted_vars = spaces.project_and_diagonalize(means, covs, basis)
+        x = spaces.integrated_pos_enc(
+            lifted_means, lifted_vars, self.min_deg_point, self.max_deg_point
+        ).astype(self.compute_dtype)
+
+        skip_in = x
+        for i in range(self.net_depth):
+            x = nn.relu(self._dense(self.net_width)(x))
+            if i % self.skip_layer == 0 and i > 0:
+                x = jnp.concatenate([x, skip_in], axis=-1)
+        raw_density = self._dense(1)(x)[..., 0].astype(jnp.float32)
+
+        if rng is not None and self.density_noise > 0:
+            rng, key = jax.random.split(rng)
+            raw_density += self.density_noise * jax.random.normal(
+                key, raw_density.shape
+            )
+        density = jax.nn.softplus(raw_density + self.density_bias)
+
+        if self.disable_rgb:
+            return {"density": density, "rgb": jnp.zeros_like(means)}
+
+        parts = []
+        if self.bottleneck_width > 0:
+            bottleneck = self._dense(self.bottleneck_width)(x)
+            if rng is not None and self.bottleneck_noise > 0:
+                rng, key = jax.random.split(rng)
+                bottleneck += self.bottleneck_noise * jax.random.normal(
+                    key, bottleneck.shape
+                ).astype(bottleneck.dtype)
+            parts.append(bottleneck)
+
+        if viewdirs is not None:
+            dir_enc = spaces.pos_enc(viewdirs, 0, self.deg_view, append_identity=True)
+            dir_enc = jnp.broadcast_to(
+                dir_enc[..., None, :], means.shape[:-1] + (dir_enc.shape[-1],)
+            ).astype(self.compute_dtype)
+            parts.append(dir_enc)
+
+        if glo_vec is not None:
+            parts.append(
+                jnp.broadcast_to(
+                    glo_vec[..., None, :], means.shape[:-1] + (glo_vec.shape[-1],)
+                ).astype(self.compute_dtype)
+            )
+
+        y = jnp.concatenate(parts, axis=-1)
+        skip_in = y
+        for i in range(self.net_depth_viewdirs):
+            y = nn.relu(self._dense(self.net_width_viewdirs)(y))
+            if i % self.skip_layer_dir == 0 and i > 0:
+                y = jnp.concatenate([y, skip_in], axis=-1)
+
+        rgb = nn.sigmoid(
+            self.rgb_premultiplier * self._dense(3)(y).astype(jnp.float32)
+            + self.rgb_bias
+        )
+        rgb = rgb * (1.0 + 2.0 * self.rgb_padding) - self.rgb_padding
+        return {"density": density, "rgb": rgb}
+
+
+class PointFieldMLP(nn.Module):
+    """PE point MLP with |.| density (the NeRF++ fg/bg field).
+
+    `input_dim` is 3 for the foreground and 4 for the inverted-sphere
+    background parametrization (x', y', z', 1/r).
+    """
+
+    input_dim: int = 3
+    net_depth: int = 8
+    net_width: int = 256
+    skips: Tuple[int, ...] = (4,)
+    pos_degrees: int = 10  # freqs 2^0 .. 2^(pos_degrees-1)
+    view_degrees: int = 4
+    compute_dtype: Any = jnp.float32
+
+    def _dense(self, feats):
+        return nn.Dense(
+            feats,
+            kernel_init=jax.nn.initializers.xavier_uniform(),
+            dtype=self.compute_dtype,
+        )
+
+    @nn.compact
+    def __call__(self, pts: jax.Array, viewdirs: jax.Array):
+        """pts [..., input_dim], viewdirs [..., 3] -> (sigma [...], rgb [..., 3])."""
+        x = spaces.pos_enc(pts, 0, self.pos_degrees).astype(self.compute_dtype)
+        skip_in = x
+        for i in range(self.net_depth):
+            x = nn.relu(self._dense(self.net_width)(x))
+            # Reference concatenates the raw encoding *after* layer i in
+            # `skips` feeds into layer i+1 (nerf_network.py:128-131).
+            if i in self.skips and i != self.net_depth - 1:
+                x = jnp.concatenate([x, skip_in], axis=-1)
+
+        sigma = jnp.abs(self._dense(1)(x).astype(jnp.float32)[..., 0])
+
+        base = self._dense(256)(x)
+        dir_enc = spaces.pos_enc(viewdirs, 0, self.view_degrees).astype(
+            self.compute_dtype
+        )
+        y = jnp.concatenate([base, dir_enc], axis=-1)
+        y = nn.relu(self._dense(self.net_width // 2)(y))
+        rgb = nn.sigmoid(self._dense(3)(y).astype(jnp.float32))
+        return sigma, rgb

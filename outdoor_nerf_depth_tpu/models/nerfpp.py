@@ -1,0 +1,253 @@
+"""Inverted-sphere fg/bg model with cascaded sampling (NeRF++ family).
+
+Capability parity with the reference NeRF++ stack
+(`/root/reference/nerf-methods/nerfplusplus/ddp_model.py:74-147` and the
+sampling in `ddp_train_nerf.py:432-465`): a foreground volume inside the unit
+sphere plus a background parametrized on the inverted sphere (x', y', z',
+1/r), composited via the fg exit transmittance `bg_lambda`; two cascade
+levels (stratified coarse + inverse-CDF fine) each with independent fg/bg
+MLPs — folded into a single module call here so one jitted step covers the
+whole cascade (no host round trips between levels).
+
+Per-image autoexposure (scale, shift) is a learned embedding over cam_idx
+(reference `NerfNetWithAutoExpo`, `ddp_model.py:161-192`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from outdoor_nerf_depth_tpu.models.mlps import PointFieldMLP
+from outdoor_nerf_depth_tpu.ops import geometry, stepfuns
+
+_HUGE = 1e10
+_TINY = 1e-6
+
+
+def _split(rng):
+    if rng is None:
+        return None, None
+    key, rng = jax.random.split(rng)
+    return key, rng
+
+
+class _SphereSceneLevel(nn.Module):
+    """One cascade level: fg + bg fields, rendered and composited."""
+
+    net_depth: int = 8
+    net_width: int = 256
+    pos_degrees: int = 10
+    view_degrees: int = 4
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        common = dict(
+            net_depth=self.net_depth,
+            net_width=self.net_width,
+            pos_degrees=self.pos_degrees,
+            view_degrees=self.view_degrees,
+            compute_dtype=self.compute_dtype,
+        )
+        self.fg_field = PointFieldMLP(input_dim=3, **common)
+        self.bg_field = PointFieldMLP(input_dim=4, **common)
+
+    def __call__(self, ray_o, ray_d, fg_far, fg_z, bg_inv_r):
+        """Render one level.
+
+        Args:
+          ray_o, ray_d: [..., 3] (origins inside the unit sphere).
+          fg_far: [...] distance to sphere exit.
+          fg_z: [..., Sf] sorted fg point samples (metric along ray).
+          bg_inv_r: [..., Sb] ascending inverse radii in (0, 1].
+        Returns a render dict (+ per-sample arrays for resampling/losses).
+        """
+        d_norm = jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
+        viewdirs = ray_d / d_norm
+
+        # ---- Foreground: points inside the unit sphere.
+        fg_pts = ray_o[..., None, :] + fg_z[..., None] * ray_d[..., None, :]
+        fg_view = jnp.broadcast_to(viewdirs[..., None, :], fg_pts.shape)
+        fg_sigma, fg_rgb = self.fg_field(fg_pts, fg_view)
+
+        # Interval lengths: sample-to-sample plus the stretch to the sphere
+        # exit, all scaled to metric by |d|.
+        fg_len = d_norm * jnp.concatenate(
+            [jnp.diff(fg_z, axis=-1), (fg_far[..., None] - fg_z[..., -1:])], axis=-1
+        )
+        fg_alpha = 1.0 - jnp.exp(-fg_sigma * fg_len)
+        surv = jnp.cumprod(1.0 - fg_alpha + _TINY, axis=-1)
+        bg_lambda = surv[..., -1]  # Transmittance past the sphere.
+        fg_trans = jnp.concatenate([jnp.ones_like(surv[..., :1]), surv[..., :-1]], -1)
+        fg_weights = fg_alpha * fg_trans
+        fg_rgb_map = jnp.sum(fg_weights[..., None] * fg_rgb, axis=-2)
+        fg_depth_map = jnp.sum(fg_weights * fg_z, axis=-1)
+
+        # ---- Background: inverted-sphere shells. `bg_inv_r` arrives
+        # ascending (0 -> 1, i.e. far -> near); compositing must run near ->
+        # far, so march in *descending* inverse radius (sphere surface
+        # outward). Reference realizes the same order by flipping the net
+        # input (`ddp_model.py:116-119`).
+        flip = lambda x: jnp.flip(x, axis=-1)
+        inv_r_nf = flip(bg_inv_r)  # near-to-far: 1 -> 0
+        bg_o = jnp.broadcast_to(
+            ray_o[..., None, :], ray_o.shape[:-1] + (bg_inv_r.shape[-1], 3)
+        )
+        bg_d = jnp.broadcast_to(ray_d[..., None, :], bg_o.shape)
+        bg_pts, bg_t = geometry.inverted_sphere_points(bg_o, bg_d, inv_r_nf)
+        bg_view = jnp.broadcast_to(viewdirs[..., None, :], bg_o.shape)
+        bg_sigma, bg_rgb = self.bg_field(bg_pts, bg_view)
+
+        # Shell widths in inverse-radius space; the outermost shell extends
+        # to infinity so the background always terminates.
+        bg_len = jnp.concatenate(
+            [
+                inv_r_nf[..., :-1] - inv_r_nf[..., 1:],
+                jnp.full_like(inv_r_nf[..., :1], _HUGE),
+            ],
+            axis=-1,
+        )
+        bg_alpha = 1.0 - jnp.exp(-bg_sigma * bg_len)
+        bg_surv = jnp.cumprod(1.0 - bg_alpha + _TINY, axis=-1)[..., :-1]
+        bg_trans = jnp.concatenate([jnp.ones_like(bg_surv[..., :1]), bg_surv], -1)
+        bg_weights = bg_alpha * bg_trans
+        bg_rgb_map = jnp.sum(bg_weights[..., None] * bg_rgb, axis=-2)
+        bg_depth_map = jnp.sum(bg_weights * bg_t, axis=-1)
+
+        rgb = fg_rgb_map + bg_lambda[..., None] * bg_rgb_map
+        depth = fg_depth_map + bg_lambda * bg_depth_map
+        return dict(
+            rgb=rgb,
+            depth=depth,
+            distance_mean=depth,
+            fg_rgb=fg_rgb_map,
+            fg_depth=fg_depth_map,
+            bg_rgb=bg_lambda[..., None] * bg_rgb_map,
+            bg_depth=bg_lambda * bg_depth_map,
+            bg_lambda=bg_lambda,
+            acc=jnp.sum(fg_weights, axis=-1) + bg_lambda * jnp.sum(bg_weights, -1),
+            fg_weights=fg_weights,
+            # Flipped back to ascending-inv_r order so resampling histograms
+            # align with `bg_inv_r` bins (the reference resamples against the
+            # un-flipped bins with flipped weights — an upstream orientation
+            # quirk we correct here).
+            bg_weights=flip(bg_weights),
+            fg_len=fg_len,
+            steps=fg_z,
+        )
+
+
+class InvertedSphereModel(nn.Module):
+    """Two-cascade NeRF++: stratified coarse level + CDF-resampled fine level."""
+
+    cascade_samples: Tuple[int, ...] = (64, 128)
+    net_depth: int = 8
+    net_width: int = 256
+    pos_degrees: int = 10
+    view_degrees: int = 4
+    optimize_autoexposure: bool = False
+    num_images: int = 256
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, rng, rays, train_frac=1.0, compute_extras=False, zero_glo=True):
+        del train_frac, zero_glo
+        ray_o, ray_d = rays.origins, rays.directions
+        fg_far, _ = geometry.intersect_unit_sphere(ray_o, ray_d)
+        # Per-ray near bound: NeRF++ min_depth maps; we reuse rays.near.
+        fg_near = jnp.broadcast_to(rays.near[..., 0], fg_far.shape)
+
+        renderings, ray_history = [], []
+        fg_z = bg_inv_r = None
+        prev = None
+        for level, n_samples in enumerate(self.cascade_samples):
+            if level == 0:
+                frac = jnp.linspace(0.0, 1.0, n_samples)
+                fg_z = fg_near[..., None] + (fg_far - fg_near)[..., None] * frac
+                bg_inv_r = jnp.broadcast_to(
+                    jnp.linspace(0.0, 1.0, n_samples), fg_z.shape
+                )
+                key, rng = _split(rng)
+                if key is not None:
+                    k1, k2 = jax.random.split(key)
+                    fg_z = _jitter_points(k1, fg_z)
+                    bg_inv_r = _jitter_points(k2, bg_inv_r)
+            else:
+                # Inverse-CDF resampling on the previous level's weights,
+                # merged with the previous samples and re-sorted.
+                key, rng = _split(rng)
+                kf, kb = (None, None) if key is None else jax.random.split(key)
+                fg_new = _sample_from_weights(
+                    kf,
+                    jax.lax.stop_gradient(prev["fg_weights"]),
+                    fg_z,
+                    n_samples,
+                )
+                fg_z = jnp.sort(jnp.concatenate([fg_z, fg_new], axis=-1), axis=-1)
+                bg_new = _sample_from_weights(
+                    kb,
+                    jax.lax.stop_gradient(prev["bg_weights"]),
+                    bg_inv_r,
+                    n_samples,
+                )
+                bg_inv_r = jnp.sort(
+                    jnp.concatenate([bg_inv_r, bg_new], axis=-1), axis=-1
+                )
+
+            out = _SphereSceneLevel(
+                net_depth=self.net_depth,
+                net_width=self.net_width,
+                pos_degrees=self.pos_degrees,
+                view_degrees=self.view_degrees,
+                compute_dtype=self.compute_dtype,
+                name=f"level{level}",
+            )(ray_o, ray_d, fg_far, fg_z, bg_inv_r)
+
+            if self.optimize_autoexposure:
+                expo = nn.Embed(
+                    self.num_images,
+                    2,
+                    embedding_init=lambda *a: jnp.tile(
+                        jnp.array([0.5, 0.0]), (self.num_images, 1)
+                    ),
+                    name=f"autoexpo{level}",
+                )(rays.cam_idx[..., 0])
+                scale = jnp.abs(expo[..., :1]) + 0.5
+                shift = expo[..., 1:]
+                out["autoexpo_scale"] = scale
+                out["autoexpo_shift"] = shift
+
+            prev = out
+            renderings.append(out)
+            ray_history.append(
+                dict(
+                    weights=out["fg_weights"],
+                    steps=fg_z,
+                    lengths=out["fg_len"],
+                    fg_far=fg_far,
+                )
+            )
+        return renderings, ray_history
+
+
+def _jitter_points(rng, z):
+    """Stratified jitter of point samples within their mid-to-mid cells."""
+    mid = 0.5 * (z[..., 1:] + z[..., :-1])
+    upper = jnp.concatenate([mid, z[..., -1:]], axis=-1)
+    lower = jnp.concatenate([z[..., :1], mid], axis=-1)
+    return lower + (upper - lower) * jax.random.uniform(rng, z.shape)
+
+
+def _sample_from_weights(rng, weights, z, n_samples):
+    """Draw new points from the histogram over midpoints of current samples.
+
+    Mirrors reference `sample_pdf` usage: bins are sample midpoints, weights
+    drop the two endpoint samples (`ddp_train_nerf.py:450-465`).
+    """
+    bins = 0.5 * (z[..., 1:] + z[..., :-1])
+    w = weights[..., 1:-1]
+    logits = jnp.log(w + 1e-8)
+    return stepfuns.sample(rng, bins, logits, n_samples)

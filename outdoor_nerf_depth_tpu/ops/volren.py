@@ -1,0 +1,170 @@
+"""Differentiable volume rendering: frustum Gaussians, alpha compositing.
+
+Capability parity with the reference renderer core
+(`/root/reference/nerf-methods/mipnerf360/internal/render.py:21-216`) and the
+compositing math of NeRF++ (`nerfplusplus/ddp_model.py:86-134`) and the NGP
+CUDA kernels (`ngp-depth/models/csrc/volumerendering.cu:7-202`). TPU-first:
+
+* transmittance comes from one exclusive cumsum of optical depth in log space
+  — XLA fuses the whole (density -> alpha -> T -> weights) chain into a few
+  VPU loops, and reverse-mode AD reproduces the hand-written CUDA backward
+  (including its suffix-sum trick) for free;
+* every output keeps static shapes; early termination is expressed as weight
+  collapse rather than ray retirement.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from outdoor_nerf_depth_tpu.ops import stepfuns
+
+_EPS = jnp.finfo(jnp.float32).eps
+
+
+def gaussianize_cone(d, t0, t1, base_radius):
+    """Moment-match a conical frustum along ray direction `d` with a Gaussian.
+
+    Stable parametrization from mip-NeRF (Eq. 7, arxiv.org/abs/2103.13415):
+    returns (t_mean, t_var, r_var) — the 1D marginal along the axis plus the
+    isotropic perpendicular variance, before lifting to 3D. `base_radius` is
+    the cone radius at unit distance; `d` need not be normalized.
+    """
+    mu = 0.5 * (t0 + t1)
+    hw = 0.5 * (t1 - t0)
+    denom = jnp.maximum(_EPS, 3.0 * mu**2 + hw**2)
+    t_mean = mu + (2.0 * mu * hw**2) / denom
+    t_var = hw**2 / 3.0 - (4.0 / 15.0) * hw**4 * (12.0 * mu**2 - hw**2) / denom**2
+    r_var = base_radius**2 * (
+        mu**2 / 4.0 + (5.0 / 12.0) * hw**2 - (4.0 / 15.0) * hw**4 / denom
+    )
+    return t_mean, t_var, r_var
+
+
+def gaussianize_cylinder(d, t0, t1, radius):
+    """Moment-match a cylindrical segment with a Gaussian (see gaussianize_cone)."""
+    del d  # Unused: the cylinder moments don't depend on direction.
+    t_mean = 0.5 * (t0 + t1)
+    t_var = (t1 - t0) ** 2 / 12.0
+    r_var = radius**2 / 4.0
+    return t_mean, t_var, r_var
+
+
+def lift_to_3d(d, t_mean, t_var, r_var, diagonal: bool):
+    """Lift axis/perpendicular Gaussian moments to 3D world coordinates.
+
+    cov = t_var * (d d^T) + r_var * (I - d d^T / |d|^2). With `diagonal`,
+    only the diagonal of that matrix is produced.
+    """
+    mean = d[..., None, :] * t_mean[..., None]
+    d_sq = jnp.maximum(1e-10, jnp.sum(d**2, axis=-1, keepdims=True))
+    if diagonal:
+        axis = d**2
+        perp = 1.0 - axis / d_sq
+        cov = t_var[..., None] * axis[..., None, :] + r_var[..., None] * perp[..., None, :]
+    else:
+        outer = d[..., :, None] * d[..., None, :]
+        perp = jnp.eye(d.shape[-1]) - d[..., :, None] * (d / d_sq)[..., None, :]
+        cov = (
+            t_var[..., None, None] * outer[..., None, :, :]
+            + r_var[..., None, None] * perp[..., None, :, :]
+        )
+    return mean, cov
+
+
+def cast_rays(tdist, origins, directions, radii, ray_shape="cone", diagonal=True):
+    """Featurize ray intervals as 3D Gaussians: means [..., n, 3], covs.
+
+    `tdist` holds interval edges [..., n+1]; each of the n frusta between
+    consecutive edges becomes one Gaussian, translated by `origins`.
+    """
+    t0, t1 = tdist[..., :-1], tdist[..., 1:]
+    if ray_shape == "cone":
+        moments = gaussianize_cone(directions, t0, t1, radii)
+    elif ray_shape == "cylinder":
+        moments = gaussianize_cylinder(directions, t0, t1, radii)
+    else:
+        raise ValueError(f"ray_shape must be cone|cylinder, got {ray_shape!r}")
+    mean, cov = lift_to_3d(directions, *moments, diagonal=diagonal)
+    return mean + origins[..., None, :], cov
+
+
+def alpha_composite_weights(density, tdist, dirs, opaque_background=False):
+    """Compositing weights from densities on the intervals of `tdist`.
+
+    Optical depth tau_i = density_i * |interval_i| * |dirs| (metric lengths);
+    T_i = exp(-cumsum_exclusive(tau)); w_i = T_i (1 - exp(-tau_i)). With
+    `opaque_background` the final interval is made infinitely wide so weights
+    always sum to 1. Returns (weights, alpha, transmittance).
+    """
+    metric_delta = jnp.diff(tdist, axis=-1) * jnp.linalg.norm(
+        dirs[..., None, :], axis=-1
+    )
+    tau = density * metric_delta
+    if opaque_background:
+        tau = jnp.concatenate(
+            [tau[..., :-1], jnp.full_like(tau[..., -1:], jnp.inf)], axis=-1
+        )
+    alpha = 1.0 - jnp.exp(-tau)
+    # Exclusive prefix sum in log space: one cumsum, no cumprod chains.
+    trans = jnp.exp(
+        -jnp.concatenate(
+            [jnp.zeros_like(tau[..., :1]), jnp.cumsum(tau[..., :-1], axis=-1)],
+            axis=-1,
+        )
+    )
+    return alpha * trans, alpha, trans
+
+
+def composite(
+    rgbs,
+    weights,
+    tdist,
+    bg_rgbs,
+    t_far,
+    compute_extras: bool,
+    extras=None,
+    percentiles=(5, 50, 95),
+):
+    """Alpha-composite per-sample quantities into per-ray outputs.
+
+    Always emits 'rgb' (background-filled). With `compute_extras`, also emits:
+    'acc' (opacity), composited `extras`, 'distance_mean' (log-space expected
+    termination distance, the depth the reference supervises), 'depth' (plain
+    expected t-mid), and 'distance_{percentile_5,median,percentile_95}'.
+    """
+    out = {}
+    acc = jnp.sum(weights, axis=-1)
+    bg_weight = jnp.maximum(0.0, 1.0 - acc[..., None])
+    out["rgb"] = jnp.sum(weights[..., None] * rgbs, axis=-2) + bg_weight * bg_rgbs
+
+    if not compute_extras:
+        return out
+
+    out["acc"] = acc
+    for key, val in (extras or {}).items():
+        if val is not None:
+            out[key] = jnp.sum(weights[..., None] * val, axis=-2)
+
+    t_mid = 0.5 * (tdist[..., :-1] + tdist[..., 1:])
+    t_lo, t_hi = tdist[..., 0], tdist[..., -1]
+    # Expected log-distance is far more robust to background weight than the
+    # linear expectation; both are clipped into the sampled range.
+    mean_log = jnp.sum(weights * jnp.log(t_mid), axis=-1) / jnp.maximum(_EPS, acc)
+    out["distance_mean"] = jnp.clip(
+        jnp.nan_to_num(jnp.exp(mean_log), nan=jnp.inf), t_lo, t_hi
+    )
+    out["depth"] = jnp.clip(
+        jnp.nan_to_num(jnp.sum(weights * t_mid, axis=-1), nan=jnp.inf), t_lo, t_hi
+    )
+
+    # Percentiles over the weight vector augmented with the background mass at
+    # t_far, so the histogram integrates to exactly 1.
+    t_aug = jnp.concatenate([tdist, t_far], axis=-1)
+    w_aug = jnp.concatenate([weights, bg_weight], axis=-1)
+    pcts = stepfuns.weighted_percentile(t_aug, w_aug, percentiles)
+    for i, p in enumerate(percentiles):
+        name = "distance_median" if p == 50 else f"distance_percentile_{p}"
+        out[name] = pcts[..., i]
+    return out

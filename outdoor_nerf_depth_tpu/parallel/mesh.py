@@ -1,0 +1,46 @@
+"""1-D data mesh + sharding helpers for ray workloads.
+
+Rays are embarrassingly parallel, so the entire parallelism story is one
+mesh axis: batch leaves sharded on `data`, parameters replicated, gradients
+all-reduced by XLA (psum over ICI within a slice, DCN across hosts). Model
+sharding knobs (hash-table sharding for NGP) build on the same mesh later.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """All (or given) devices on a single `data` axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (ray) axis split across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch on device, ray axis sharded over the mesh.
+
+    With multiple processes each host holds 1/process_count of the global
+    batch; `device_put` with a NamedSharding assembles the global array from
+    per-host shards (jax.Array single-controller semantics).
+    """
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if x is not None else None, batch
+    )

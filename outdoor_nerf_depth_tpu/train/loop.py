@@ -1,0 +1,167 @@
+"""The training loop driver: data -> sharded step -> metrics -> checkpoints.
+
+Capability parity with the reference drivers
+(`/root/reference/nerf-methods/mipnerf360/train.py:46-399`,
+`nerfplusplus/ddp_train_nerf.py:357-655`), with rays/sec/chip as the
+north-star counter. Single-controller: the same script runs 1 chip or a
+multi-host slice (per-host input sharding lives in the data layer).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from outdoor_nerf_depth_tpu import parallel
+from outdoor_nerf_depth_tpu.data import datasets as datasets_lib
+from outdoor_nerf_depth_tpu.train import checkpoints as ckpt_lib
+from outdoor_nerf_depth_tpu.train import metrics as metrics_lib
+from outdoor_nerf_depth_tpu.train import step as step_lib
+from outdoor_nerf_depth_tpu.train.config import Config, save_config
+
+
+def build_dataset(config: Config, split: str):
+    if config.dataset == "synthetic":
+        return datasets_lib.SyntheticDataset(
+            split,
+            global_batch_size=config.batch_size,
+            cast_on_device=config.cast_rays_in_train_step,
+        )
+    if config.dataset == "driving":
+        ds = datasets_lib.DrivingSceneDataset(
+            config.scene_dir,
+            split,
+            global_batch_size=config.batch_size,
+            near=config.near,
+            far=config.far,
+            factor=config.factor,
+            depth_sup_type=config.depth_sup_type,
+            sample_every=config.sample_every if split == "train" else 1,
+            depth_crop_range=config.depth_crop_range,
+            depth_keep_ratio=config.depth_keep_ratio,
+            auto_adjust_near_far=config.auto_adjust_near_far,
+            load_depth=config.depth_sup_type != "rgbonly",
+            cast_on_device=config.cast_rays_in_train_step,
+        )
+        return ds
+    if config.dataset == "nerfpp":
+        return datasets_lib.NerfppSceneDataset(
+            config.scene_dir,
+            split,
+            global_batch_size=config.batch_size,
+            skip=config.sample_every if split == "train" else 1,
+            depth_sup_type=config.depth_sup_type,
+            cast_on_device=config.cast_rays_in_train_step,
+        )
+    raise ValueError(f"unknown dataset {config.dataset!r}")
+
+
+def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
+    """Run training; returns the final state and a history of logged stats."""
+    max_steps = max_steps or config.max_steps
+    os.makedirs(config.exp_dir, exist_ok=True)
+    if jax.process_index() == 0:
+        save_config(config, os.path.join(config.exp_dir, "config.json"))
+
+    dataset = build_dataset(config, "train")
+    if hasattr(dataset, "scene_scale"):
+        config = config.replace(depth_scale=float(dataset.scene_scale))
+
+    mesh = parallel.make_mesh()
+    rng = jax.random.PRNGKey(config.seed)
+    model, state = step_lib.init_state(config, rng)
+
+    ckpt = ckpt_lib.CheckpointManager(
+        os.path.join(config.exp_dir, "checkpoints"), keep=config.keep_checkpoints
+    )
+    state, start_step = ckpt.restore(state)
+
+    train_step = step_lib.make_train_step(
+        config, model, mesh, cameras=dataset.cameras, camtype=dataset.camtype
+    )
+    batches = datasets_lib.PrefetchIterator(dataset.sample_batch)
+
+    history = []
+    gc.disable()
+    t_last = time.perf_counter()
+    rays_since = 0
+    for step in range(start_step, max_steps):
+        batch = parallel.shard_batch(next(batches), mesh)
+        step_rng = jax.random.fold_in(rng, step)
+        state, stats = train_step(state, batch, step_rng, step / max_steps)
+        rays_since += config.batch_size
+
+        if (step + 1) % config.print_every == 0 or step + 1 == max_steps:
+            stats = jax.device_get(stats)
+            now = time.perf_counter()
+            n_chips = jax.device_count()
+            entry = {
+                "step": step + 1,
+                "loss": float(stats["loss"]),
+                "psnr": float(stats["psnr"]),
+                "rays_per_sec": rays_since / (now - t_last),
+                "rays_per_sec_per_chip": rays_since / (now - t_last) / n_chips,
+                "grad_norm": float(stats["grad_norm"]),
+                **{
+                    f"loss_{k}": float(v)
+                    for k, v in stats.get("loss_terms", {}).items()
+                },
+            }
+            history.append(entry)
+            log_fn(json.dumps({k: round(v, 5) if isinstance(v, float) else v
+                               for k, v in entry.items()}))
+            t_last, rays_since = now, 0
+            gc.collect()
+
+        if (step + 1) % config.checkpoint_every == 0 or step + 1 == max_steps:
+            # Orbax coordinates multi-host saves itself; every process calls.
+            ckpt.save(step + 1, jax.device_get(state))
+
+    gc.enable()
+    ckpt.wait()
+    ckpt.close()
+    return state, history
+
+
+def evaluate(config: Config, state, split: str = "test", max_images=None, log_fn=print):
+    """Render the split and compute PSNR/SSIM(/LPIPS) + depth metrics."""
+    dataset = build_dataset(config, split)
+    if hasattr(dataset, "scene_scale"):
+        config = config.replace(depth_scale=float(dataset.scene_scale))
+    mesh = parallel.make_mesh()
+    model = step_lib.build_model(config)
+    render_chunk = step_lib.make_render_fn(config, model, mesh)
+    suite = metrics_lib.MetricSuite(
+        compute_ssim=config.compute_ssim, compute_lpips=config.compute_lpips
+    )
+
+    n = dataset.n_images if max_images is None else min(max_images, dataset.n_images)
+    per_image = []
+    for i in range(n):
+        batch = dataset.image_batch(i)
+        rendering = step_lib.render_image(
+            render_chunk, state.params, batch, mesh, config.render_chunk_size
+        )
+        m = suite(
+            np.asarray(rendering["rgb"]),
+            np.asarray(batch.rgb),
+            pred_depth=np.asarray(rendering["distance_mean"]),
+            gt_depth=None if batch.depth_gt is None else np.asarray(batch.depth_gt),
+            depth_scale=config.depth_scale,
+        )
+        per_image.append(m)
+        log_fn(json.dumps({"image": i, **{k: round(v, 4) for k, v in m.items()}}))
+
+    mean = {
+        k: float(np.mean([m[k] for m in per_image]))
+        for k in per_image[0]
+        if per_image[0][k] is not None
+    }
+    log_fn(json.dumps({"split": split, "mean": {k: round(v, 4) for k, v in mean.items()}}))
+    return mean, per_image

@@ -1,0 +1,301 @@
+"""Train-step / render-step factories: jit + NamedSharding over a data mesh.
+
+Capability parity with the reference's pmap machinery
+(`/root/reference/nerf-methods/mipnerf360/internal/train_utils.py:242-439`),
+re-designed for the jax.Array era: instead of `pmap` + explicit `lax.pmean`,
+the step is `jit`-compiled over a `Mesh` with the batch sharded on the
+`data` axis and params replicated — XLA inserts the gradient all-reduce
+(psum over ICI/DCN) and overlaps it with the backward pass. Buffers are
+donated, so optimizer state updates in place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from outdoor_nerf_depth_tpu import models as models_lib
+from outdoor_nerf_depth_tpu import parallel
+from outdoor_nerf_depth_tpu.data import cameras as cameras_lib
+from outdoor_nerf_depth_tpu.data import rays as rays_lib
+from outdoor_nerf_depth_tpu.ops import mathx
+from outdoor_nerf_depth_tpu.train import losses as losses_lib
+from outdoor_nerf_depth_tpu.train import metrics as metrics_lib
+from outdoor_nerf_depth_tpu.train.config import Config
+
+
+def tree_norm(tree):
+    return jnp.sqrt(
+        sum(jnp.sum(x**2) for x in jax.tree_util.tree_leaves(tree))
+    )
+
+
+def build_model(config: Config):
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    params = dict(config.model_params or {})
+    params.setdefault("compute_dtype", dtype)
+    if isinstance(params["compute_dtype"], str):
+        params["compute_dtype"] = (
+            jnp.bfloat16 if params["compute_dtype"] == "bfloat16" else jnp.float32
+        )
+    if config.model == "mipnerf360":
+        params.setdefault("nerf_mlp_params", config.nerf_mlp_params or None)
+        params.setdefault("prop_mlp_params", config.prop_mlp_params or None)
+        params.setdefault("vis_num_rays", config.vis_num_rays)
+    return models_lib.build(config.model, **params)
+
+
+def make_optimizer(config: Config) -> Tuple[optax.GradientTransformation, Callable]:
+    lr_fn = functools.partial(
+        mathx.lr_schedule,
+        lr_init=config.lr_init,
+        lr_final=config.lr_final,
+        max_steps=config.max_steps,
+        warmup_steps=config.lr_delay_steps,
+        warmup_mult=config.lr_delay_mult,
+    )
+    tx = optax.adam(
+        learning_rate=lr_fn,
+        b1=config.adam_beta1,
+        b2=config.adam_beta2,
+        eps=config.adam_eps,
+    )
+    return tx, lr_fn
+
+
+def init_state(config: Config, rng) -> Tuple[Any, TrainState]:
+    """Build the model and a TrainState initialized on a tiny dummy batch."""
+    model = build_model(config)
+    variables = model.init(
+        rng,
+        rng=None,
+        rays=rays_lib.dummy_rays((8,)),
+        train_frac=1.0,
+        compute_extras=False,
+    )
+    tx, _ = make_optimizer(config)
+    state = TrainState.create(apply_fn=model.apply, params=variables, tx=tx)
+    return model, state
+
+
+def clip_gradients(grad, config: Config):
+    """Per-top-level-module value+norm clipping (reference
+    `train_utils.py:221-239` semantics)."""
+    if config.grad_max_val <= 0 and config.grad_max_norm <= 0:
+        return grad
+    clipped = {}
+    for name, g in grad["params"].items():
+        if config.grad_max_val > 0:
+            g = jax.tree_util.tree_map(
+                lambda z: jnp.clip(z, -config.grad_max_val, config.grad_max_val), g
+            )
+        if config.grad_max_norm > 0:
+            mult = jnp.minimum(
+                1.0, config.grad_max_norm / (1e-12 + tree_norm(g))
+            )
+            g = jax.tree_util.tree_map(lambda z, m=mult: m * z, g)
+        clipped[name] = g
+    out = dict(grad)
+    out["params"] = clipped
+    return out
+
+
+def _total_loss(config: Config, model, batch, renderings, ray_history, rays):
+    """Assemble the loss dict + stats for one forward pass."""
+    stats = {}
+    loss_terms = {}
+
+    rgb_losses, mses, depth_losses = [], [], []
+    use_depth = config.lambda_depth > 0 and batch.depth_sup is not None
+    for i, rendering in enumerate(renderings):
+        rl, mse = losses_lib.rgb_loss(
+            rendering["rgb"],
+            batch.rgb[..., :3],
+            lossmult=rays.lossmult,
+            kind=config.data_loss_type,
+            charb_padding=config.charb_padding,
+        )
+        rgb_losses.append(rl)
+        mses.append(mse)
+        if use_depth:
+            depth_losses.append(
+                losses_lib.depth_loss_from_history(
+                    ray_history[i],
+                    batch.depth_sup,
+                    rendering.get("distance_mean", rendering.get("depth")),
+                    rays.directions,
+                    sigma=config.depth_sigma * config.depth_scale,
+                    kind=config.depth_loss_type,
+                    reduce=config.depth_loss_reduce,
+                    fg_far_mask=config.depth_fg_far_mask,
+                )
+            )
+
+    rgb_losses = jnp.array(rgb_losses)
+    loss_terms["data"] = (
+        config.data_coarse_loss_mult * jnp.sum(rgb_losses[:-1])
+        + config.data_loss_mult * rgb_losses[-1]
+    )
+    if use_depth:
+        dl = jnp.array(depth_losses)
+        loss_terms["depth"] = config.lambda_depth * (
+            config.data_coarse_loss_mult * jnp.sum(dl[:-1])
+            + config.data_loss_mult * dl[-1]
+        )
+
+    has_sdist = "sdist" in ray_history[0]
+    if config.interlevel_loss_mult > 0 and len(ray_history) > 1 and has_sdist:
+        loss_terms["interlevel"] = (
+            config.interlevel_loss_mult * losses_lib.interlevel_loss(ray_history)
+        )
+    if config.distortion_loss_mult > 0 and has_sdist:
+        loss_terms["distortion"] = (
+            config.distortion_loss_mult * losses_lib.distortion_loss(ray_history)
+        )
+    if config.opacity_loss_mult > 0 and "acc" in renderings[-1]:
+        loss_terms["opacity"] = (
+            config.opacity_loss_mult
+            * losses_lib.opacity_entropy_loss(renderings[-1]["acc"])
+        )
+    if config.autoexpo_loss_mult > 0 and "autoexpo_scale" in renderings[-1]:
+        loss_terms["autoexpo"] = config.autoexpo_loss_mult * losses_lib.autoexposure_reg(
+            renderings[-1]["autoexpo_scale"], renderings[-1]["autoexpo_shift"]
+        )
+
+    stats["mses"] = jnp.array(mses)
+    stats["psnrs"] = metrics_lib.mse_to_psnr(stats["mses"])
+    stats["psnr"] = stats["psnrs"][-1]
+    return loss_terms, stats
+
+
+def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspective"):
+    """Compile the sharded train step.
+
+    Returns step(state, batch, rng, train_frac) -> (state, stats). `state` is
+    replicated and donated; `batch` leaves are sharded on the data axis. When
+    `cameras` is given, batches may carry `Pixels` and rays are cast on
+    device inside the step (the reference's `cast_rays_in_train_step` fast
+    path, now inside the jit so it fuses with the model).
+    """
+    cams_dev = None
+    if cameras is not None:
+        cams_dev = tuple(
+            jnp.asarray(c) if c is not None and not isinstance(c, dict) else c
+            for c in cameras
+        )
+
+    def step(state, batch, rng, train_frac):
+        rays = batch.rays
+        if isinstance(rays, rays_lib.Pixels):
+            rays = cameras_lib.cast_pixels(rays, cams_dev, camtype, xnp=jnp)
+
+        compute_extras = config.lambda_depth > 0 and config.depth_loss_type in (
+            "mse",
+            "l1",
+            "urf",
+        )
+
+        def loss_fn(params):
+            renderings, ray_history = model.apply(
+                params,
+                rng if config.randomized else None,
+                rays,
+                train_frac=train_frac,
+                compute_extras=compute_extras,
+                zero_glo=False,
+            )
+            loss_terms, stats = _total_loss(
+                config, model, batch, renderings, ray_history, rays
+            )
+            if config.weight_decay_mults:
+                wd = 0.0
+                for k, mult in config.weight_decay_mults.items():
+                    sub = params["params"].get(k)
+                    if sub is not None:
+                        wd += mult * sum(
+                            jnp.sum(x**2) for x in jax.tree_util.tree_leaves(sub)
+                        )
+                loss_terms["weight"] = wd
+            total = sum(loss_terms.values())
+            stats["loss_terms"] = {k: v for k, v in loss_terms.items()}
+            stats["loss"] = total
+            return total, stats
+
+        (_, stats), grad = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        # No explicit pmean: the loss averages over the *global* sharded
+        # batch, so reverse-mode AD emits the cross-device reduction and XLA
+        # schedules it as an all-reduce overlapped with backward.
+        stats["grad_norm"] = tree_norm(grad["params"])
+        grad = clip_gradients(grad, config)
+        grad = jax.tree_util.tree_map(jnp.nan_to_num, grad)
+        new_state = state.apply_gradients(grads=grad)
+        return new_state, stats
+
+    repl = parallel.replicated(mesh)
+    data = parallel.batch_sharding(mesh)
+    # `data` acts as a pytree prefix: every leaf of the batch shards its
+    # leading (ray) axis across the mesh.
+    return jax.jit(
+        step,
+        in_shardings=(repl, data, repl, None),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_render_fn(config: Config, model, mesh):
+    """Compile the chunked eval renderer (deterministic, full extras)."""
+    repl = parallel.replicated(mesh)
+    data = parallel.batch_sharding(mesh)
+
+    @functools.partial(
+        jax.jit, in_shardings=(repl, data), out_shardings=repl
+    )
+    def render_chunk(params, rays):
+        renderings, _ = model.apply(
+            params, None, rays, train_frac=1.0, compute_extras=True
+        )
+        final = renderings[-1]
+        return {k: v for k, v in final.items() if not k.startswith("ray_")}
+
+    return render_chunk
+
+
+def render_image(render_chunk, params, batch, mesh, chunk_size: int = 16384):
+    """Render a full image by chunking rays through the jitted renderer.
+
+    Chunks are padded to the device count, sharded, rendered, gathered, and
+    reassembled to [H, W, ...] (reference `models.py:626-707`, without the
+    host-0-only gather: jax.Array addressability handles it).
+    """
+    rays = batch.rays
+    h, w = rays.origins.shape[:2]
+    flat = jax.tree_util.tree_map(
+        lambda r: r.reshape((h * w,) + r.shape[2:]), rays
+    )
+    n_dev = len(mesh.devices.flat)
+    outs = []
+    for start in range(0, h * w, chunk_size):
+        chunk = jax.tree_util.tree_map(
+            lambda r: r[start : start + chunk_size], flat
+        )
+        chunk, pad = rays_lib.pad_to_multiple(chunk, n_dev)
+        chunk = parallel.shard_batch(chunk, mesh)
+        out = render_chunk(params, chunk)
+        out = jax.device_get(out)
+        if pad:
+            out = jax.tree_util.tree_map(lambda x: x[: len(x) - pad], out)
+        outs.append(out)
+    merged = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *outs
+    )
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((h, w) + x.shape[1:]), merged
+    )

@@ -1,0 +1,17 @@
+"""Test harness: force CPU with a virtual 8-device mesh before jax imports.
+
+Mirrors the reference's CPU-only unit-test strategy
+(`/root/reference/nerf-methods/mipnerf360/scripts/run_all_unit_tests.sh`) but
+adds what the reference never had: multi-device tests, faked via
+`--xla_force_host_platform_device_count` so sharding paths compile and run
+without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,182 @@
+"""End-to-end train-step tests on the virtual 8-device CPU mesh.
+
+What the reference never had (SURVEY.md section 4 gap): multi-device tests.
+The conftest fakes 8 XLA CPU devices; these tests compile the full sharded
+step, check loss descent, and verify sharding metadata.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from outdoor_nerf_depth_tpu import parallel
+from outdoor_nerf_depth_tpu.data import datasets as datasets_lib
+from outdoor_nerf_depth_tpu.data import rays as rays_lib
+from outdoor_nerf_depth_tpu.train import step as step_lib
+from outdoor_nerf_depth_tpu.train.config import Config, load_config
+
+SMALL_MODEL = dict(
+    num_prop_samples=8,
+    num_nerf_samples=4,
+    num_levels=2,
+    nerf_mlp_params=dict(net_depth=2, net_width=16, bottleneck_width=8,
+                         net_width_viewdirs=8, max_deg_point=4),
+    prop_mlp_params=dict(net_depth=2, net_width=16, max_deg_point=4),
+)
+
+
+def _config(**kw):
+    base = dict(
+        model="mipnerf360",
+        model_params=SMALL_MODEL,
+        batch_size=64,
+        max_steps=20,
+        lr_init=2e-3,
+        lr_final=2e-4,
+        lr_delay_steps=0,
+        lambda_depth=0.1,
+        depth_loss_type="mse",
+        distortion_loss_mult=0.01,
+        interlevel_loss_mult=1.0,
+        print_every=5,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+class TestShardedTrainStep:
+    def test_eight_devices_present(self):
+        assert jax.device_count() == 8
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        config = _config()
+        dataset = datasets_lib.SyntheticDataset(
+            "train", global_batch_size=config.batch_size, seed=1
+        )
+        mesh = parallel.make_mesh()
+        model, state = step_lib.init_state(config, jax.random.PRNGKey(0))
+        train_step = step_lib.make_train_step(
+            config, model, mesh, cameras=dataset.cameras, camtype=dataset.camtype
+        )
+        return config, dataset, mesh, model, state, train_step
+
+    def test_step_runs_and_loss_decreases(self, setup):
+        config, dataset, mesh, model, state, train_step = setup
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for i in range(12):
+            batch = parallel.shard_batch(dataset.sample_batch(), mesh)
+            state, stats = train_step(
+                state, batch, jax.random.fold_in(rng, i), i / 12
+            )
+            losses.append(float(stats["loss"]))
+        assert all(np.isfinite(losses))
+        assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+    def test_batch_is_sharded_params_replicated(self, setup):
+        config, dataset, mesh, model, state, train_step = setup
+        batch = parallel.shard_batch(dataset.sample_batch(), mesh)
+        rgb_sharding = batch.rgb.sharding
+        assert rgb_sharding.spec == jax.sharding.PartitionSpec("data")
+        # One row shard per device.
+        assert len(batch.rgb.addressable_shards) == 8
+        assert batch.rgb.addressable_shards[0].data.shape[0] == 8  # 64 / 8
+
+    def test_stats_contain_loss_terms(self, setup):
+        config, dataset, mesh, model, state, train_step = setup
+        batch = parallel.shard_batch(dataset.sample_batch(), mesh)
+        _, stats = train_step(state, batch, jax.random.PRNGKey(2), 0.5)
+        terms = stats["loss_terms"]
+        for key in ("data", "depth", "interlevel", "distortion"):
+            assert key in terms, f"missing loss term {key}"
+            assert np.isfinite(float(terms[key]))
+
+    def test_depth_loss_engages(self, setup):
+        # With lambda_depth > 0 and valid priors the depth term is nonzero.
+        config, dataset, mesh, model, state, train_step = setup
+        batch = parallel.shard_batch(dataset.sample_batch(), mesh)
+        _, stats = train_step(state, batch, jax.random.PRNGKey(3), 0.5)
+        assert float(stats["loss_terms"]["depth"]) > 0
+
+
+class TestRenderImage:
+    def test_full_image_render(self):
+        config = _config(lambda_depth=0.0)
+        dataset = datasets_lib.SyntheticDataset(
+            "test", global_batch_size=64, height=6, width=10
+        )
+        mesh = parallel.make_mesh()
+        model, state = step_lib.init_state(config, jax.random.PRNGKey(0))
+        render_chunk = step_lib.make_render_fn(config, model, mesh)
+        batch = dataset.image_batch(0)
+        out = step_lib.render_image(render_chunk, state.params, batch, mesh,
+                                    chunk_size=32)
+        assert out["rgb"].shape == (6, 10, 3)
+        assert out["distance_mean"].shape == (6, 10)
+        assert np.all(np.isfinite(out["rgb"]))
+        assert "distance_median" in out and "acc" in out
+
+
+class TestKlTrainStep:
+    def test_kl_depth_loss_path_compiles(self):
+        config = _config(depth_loss_type="kl", depth_sigma=0.5)
+        dataset = datasets_lib.SyntheticDataset("train", global_batch_size=64, seed=2)
+        mesh = parallel.make_mesh()
+        model, state = step_lib.init_state(config, jax.random.PRNGKey(0))
+        train_step = step_lib.make_train_step(
+            config, model, mesh, cameras=dataset.cameras, camtype=dataset.camtype
+        )
+        batch = parallel.shard_batch(dataset.sample_batch(), mesh)
+        state, stats = train_step(state, batch, jax.random.PRNGKey(1), 0.5)
+        assert np.isfinite(float(stats["loss"]))
+        assert float(stats["loss_terms"]["depth"]) != 0
+
+
+class TestNerfppTrainStep:
+    def test_nerfpp_step(self):
+        config = _config(
+            model="nerfpp",
+            model_params=dict(cascade_samples=(6, 6), net_depth=2, net_width=16,
+                              pos_degrees=4, view_degrees=2),
+            lambda_depth=0.1,
+            depth_loss_type="kl",
+            depth_fg_far_mask=True,
+            depth_loss_reduce="mean_valid",
+            interlevel_loss_mult=0.0,
+            distortion_loss_mult=0.0,
+            data_coarse_loss_mult=1.0,
+        )
+        dataset = datasets_lib.SyntheticDataset("train", global_batch_size=64, seed=3)
+        # NeRF++ requires origins inside the unit sphere: synthetic cameras
+        # sit at radius ~0.58, so this holds.
+        mesh = parallel.make_mesh()
+        model, state = step_lib.init_state(config, jax.random.PRNGKey(0))
+        train_step = step_lib.make_train_step(
+            config, model, mesh, cameras=dataset.cameras, camtype=dataset.camtype
+        )
+        rng = jax.random.PRNGKey(4)
+        losses = []
+        for i in range(8):
+            batch = parallel.shard_batch(dataset.sample_batch(), mesh)
+            state, stats = train_step(state, batch, jax.random.fold_in(rng, i), 0.5)
+            losses.append(float(stats["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+
+class TestConfig:
+    def test_overrides(self):
+        c = load_config(overrides=["batch_size=128", "lr_init=0.01",
+                                   "randomized=false", "model=nerfpp"])
+        assert c.batch_size == 128 and c.lr_init == 0.01
+        assert c.randomized is False and c.model == "nerfpp"
+
+    def test_json_override(self):
+        c = load_config(overrides=['model_params={"net_width": 32}'])
+        assert c.model_params == {"net_width": 32}
+
+    def test_unknown_key_rejected(self):
+        with pytest.raises(ValueError):
+            load_config(overrides=["bogus_key=1"])
