@@ -1,0 +1,192 @@
+"""Multiresolution hash-grid encoding (the Instant-NGP field backbone).
+
+Capability parity with tiny-cuda-nn's HashGrid encoder as used by the
+reference (`/root/reference/nerf-methods/ngp-depth/models/networks.py:36-77`:
+L=16 levels, F=2 features/level, T=2^19 table, N_min=16, growth b from
+`exp((ln(2048*scale) - ln(16)) / (L-1))`), re-designed for XLA/TPU:
+
+* the per-level trilinear gather is expressed as one `take` over the level's
+  table slice — XLA lowers it to a dynamic-gather HLO; the backward pass is
+  the transpose scatter-add, which is exactly tcnn's hand-written gradient
+  kernel, derived here by AD;
+* all 16 levels share one [L, T, F] parameter tensor so a single scatter-add
+  covers the whole backward;
+* levels whose dense grid fits the table use injective dense indexing
+  (matching tcnn), so coarse levels behave like voxel grids with no hash
+  collisions.
+
+The table lives in an ordinary flax param — shardable over a mesh axis if
+the table ever outgrows HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Large primes from the Instant-NGP paper's spatial hash (x uses stride 1).
+_PRIMES = (1, 2_654_435_761, 805_459_861)
+
+
+def growth_factor(n_levels: int, n_min: int, n_max: int) -> float:
+    if n_levels <= 1:
+        return 1.0
+    return float(np.exp((np.log(n_max) - np.log(n_min)) / (n_levels - 1)))
+
+
+def level_resolutions(n_levels: int, n_min: int, n_max: int) -> np.ndarray:
+    b = growth_factor(n_levels, n_min, n_max)
+    return np.floor(n_min * b ** np.arange(n_levels)).astype(np.int32)
+
+
+def _hash_corner(coords, resolution: int, table_size: int):
+    """Spatial-hash (or dense) index of integer grid coords [..., 3]."""
+    if (resolution + 1) ** 3 <= table_size:
+        # Injective dense indexing: no collisions at coarse levels.
+        stride = resolution + 1
+        idx = (
+            coords[..., 0]
+            + coords[..., 1] * stride
+            + coords[..., 2] * stride * stride
+        )
+        return idx
+    c = coords.astype(jnp.uint32)
+    h = c[..., 0] * jnp.uint32(_PRIMES[0])
+    h ^= c[..., 1] * jnp.uint32(_PRIMES[1])
+    h ^= c[..., 2] * jnp.uint32(_PRIMES[2])
+    # Table sizes are powers of two: mask instead of mod.
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+# The 8 corner offsets of a unit cell, as a [8, 3] constant.
+_CORNERS = np.array(
+    [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)], dtype=np.int32
+)
+
+
+def encode(x, table, resolutions, table_size: int):
+    """Hash-encode unit-cube positions.
+
+    Args:
+      x: [..., 3] positions in [0, 1] (caller contracts/normalizes).
+      table: [L, T, F] feature table.
+      resolutions: static [L] per-level grid resolutions.
+      table_size: T (power of two).
+
+    Returns [..., L * F] interpolated features.
+    """
+    n_levels = table.shape[0]
+    outs = []
+    x = jnp.clip(x, 0.0, 1.0)
+    for level in range(n_levels):
+        res = int(resolutions[level])
+        pos = x * res  # cell coordinates in [0, res]
+        cell = jnp.floor(pos).astype(jnp.int32)
+        cell = jnp.clip(cell, 0, res - 1)
+        frac = pos - cell
+
+        corners = cell[..., None, :] + _CORNERS  # [..., 8, 3]
+        idx = _hash_corner(corners, res, table_size)  # [..., 8]
+        feats = jnp.take(table[level], idx, axis=0)  # [..., 8, F]
+
+        # Trilinear weights from the corner pattern (product form).
+        w = jnp.prod(
+            jnp.where(_CORNERS[:, :] == 1, frac[..., None, :], 1.0 - frac[..., None, :]),
+            axis=-1,
+        )  # [..., 8]
+        outs.append(jnp.sum(w[..., None] * feats, axis=-2))
+    return jnp.concatenate(outs, axis=-1)
+
+
+class HashGridEncoding(nn.Module):
+    """Learnable multiresolution hash encoding as a flax module."""
+
+    n_levels: int = 16
+    n_features: int = 2
+    log2_table_size: int = 19
+    base_resolution: int = 16
+    max_resolution: int = 2048  # 2048 * scene scale in the reference
+    init_scale: float = 1e-4
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def out_dim(self) -> int:
+        return self.n_levels * self.n_features
+
+    @nn.compact
+    def __call__(self, x):
+        table_size = 2**self.log2_table_size
+        resolutions = level_resolutions(
+            self.n_levels, self.base_resolution, self.max_resolution
+        )
+        table = self.param(
+            "table",
+            lambda key: jax.random.uniform(
+                key,
+                (self.n_levels, table_size, self.n_features),
+                minval=-self.init_scale,
+                maxval=self.init_scale,
+            ),
+        )
+        return encode(
+            x, table.astype(self.compute_dtype), resolutions, table_size
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("out_dim",))
+def spherical_harmonics(d, out_dim: int = 16):
+    """Real spherical harmonics basis through degree 3 (16 coefficients).
+
+    The closed-form polynomial expansion tcnn evaluates for its
+    "SphericalHarmonics degree 4" encoding; `d` must be unit [..., 3].
+    """
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    comps = [
+        0.28209479177387814 * jnp.ones_like(x),
+        -0.48860251190291987 * y,
+        0.48860251190291987 * z,
+        -0.48860251190291987 * x,
+        1.0925484305920792 * xy,
+        -1.0925484305920792 * yz,
+        0.94617469575755997 * zz - 0.31539156525251999,
+        -1.0925484305920792 * xz,
+        0.54627421529603959 * (xx - yy),
+        0.59004358992664352 * y * (-3.0 * xx + yy),
+        2.8906114426405538 * xy * z,
+        0.45704579946446572 * y * (1.0 - 5.0 * zz),
+        0.3731763325901154 * z * (5.0 * zz - 3.0),
+        0.45704579946446572 * x * (1.0 - 5.0 * zz),
+        1.4453057213202769 * z * (xx - yy),
+        0.59004358992664352 * x * (-xx + 3.0 * yy),
+    ]
+    return jnp.stack(comps[:out_dim], axis=-1)
+
+
+def truncated_exp(x, bound: float = 15.0):
+    """exp with clamped forward *and* clamped gradient (tcnn's TruncExp:
+    `ngp-depth/custom_functions.py:162-173`)."""
+    return _trunc_exp(x, bound)
+
+
+@jax.custom_vjp
+def _trunc_exp(x, bound):
+    return jnp.exp(jnp.clip(x, -bound, bound))
+
+
+def _trunc_exp_fwd(x, bound):
+    return _trunc_exp(x, bound), (x, bound)
+
+
+def _trunc_exp_bwd(res, g):
+    x, bound = res
+    return (g * jnp.exp(jnp.clip(x, -bound, bound)), None)
+
+
+_trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)

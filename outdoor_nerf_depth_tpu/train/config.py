@@ -58,6 +58,12 @@ class Config:
     autoexpo_loss_mult: float = 0.0
     weight_decay_mults: Any = dataclasses.field(default_factory=dict)
 
+    # -- NGP occupancy grid
+    occupancy_update_every: int = 16
+    occupancy_warmup_steps: int = 256
+    occupancy_decay: float = 0.95
+    occupancy_cells_per_update: int = 65536  # sampled cells per cascade
+
     # -- optimization
     max_steps: int = 75_000
     lr_init: float = 2e-3

@@ -85,6 +85,13 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
     train_step = step_lib.make_train_step(
         config, model, mesh, cameras=dataset.cameras, camtype=dataset.camtype
     )
+    occ_update = step_lib.make_occupancy_update_fn(config, model, mesh)
+    occupancy = None
+    if occ_update is not None:
+        from outdoor_nerf_depth_tpu.ops import occupancy as occ_lib
+
+        occupancy = occ_lib.init_grid(model.scale, model.grid_resolution)
+
     batches = datasets_lib.PrefetchIterator(dataset.sample_batch)
 
     history = []
@@ -94,7 +101,16 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
     for step in range(start_step, max_steps):
         batch = parallel.shard_batch(next(batches), mesh)
         step_rng = jax.random.fold_in(rng, step)
-        state, stats = train_step(state, batch, step_rng, step / max_steps)
+        if occ_update is not None and step % config.occupancy_update_every == 0:
+            occupancy = occ_update(
+                state.params,
+                occupancy,
+                jax.random.fold_in(step_rng, 7),
+                step < config.occupancy_warmup_steps,
+            )
+        state, stats = train_step(
+            state, batch, step_rng, step / max_steps, occupancy
+        )
         rays_since += config.batch_size
 
         if (step + 1) % config.print_every == 0 or step + 1 == max_steps:

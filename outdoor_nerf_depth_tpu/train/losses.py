@@ -183,12 +183,23 @@ def interlevel_loss(ray_history) -> jax.Array:
 
 
 def distortion_loss(ray_history) -> jax.Array:
-    """mip-NeRF 360 distortion on the final level in normalized s-space."""
-    return jnp.mean(
-        stepfuns.distortion_loss(
-            ray_history[-1]["sdist"], ray_history[-1]["weights"]
-        )
+    """Distortion regularizer on the final level.
+
+    Interval models (with 'sdist' edges) use the mip-NeRF 360 form in
+    normalized space; point-sampled models (steps/lengths) use the same
+    functional in metric t (the DVGO-v2 form the NGP CUDA kernels compute,
+    `csrc/losses.cu:112-150`).
+    """
+    last = ray_history[-1]
+    if "sdist" in last:
+        return jnp.mean(stepfuns.distortion_loss(last["sdist"], last["weights"]))
+    w, t, dt = last["weights"], last["steps"], last["lengths"]
+    inter = jnp.sum(
+        w * jnp.sum(w[..., None, :] * jnp.abs(t[..., :, None] - t[..., None, :]), -1),
+        axis=-1,
     )
+    intra = jnp.sum(w**2 * dt, axis=-1) / 3.0
+    return jnp.mean(inter + intra)
 
 
 def opacity_entropy_loss(acc, eps: float = 1e-5) -> jax.Array:

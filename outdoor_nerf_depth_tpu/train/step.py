@@ -155,7 +155,9 @@ def _total_loss(config: Config, model, batch, renderings, ray_history, rays):
         loss_terms["interlevel"] = (
             config.interlevel_loss_mult * losses_lib.interlevel_loss(ray_history)
         )
-    if config.distortion_loss_mult > 0 and has_sdist:
+    if config.distortion_loss_mult > 0 and (
+        has_sdist or "steps" in ray_history[-1]
+    ):
         loss_terms["distortion"] = (
             config.distortion_loss_mult * losses_lib.distortion_loss(ray_history)
         )
@@ -190,11 +192,17 @@ def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspect
             jnp.asarray(c) if c is not None and not isinstance(c, dict) else c
             for c in cameras
         )
+    # Models with functional sampler state (the NGP occupancy grid) receive
+    # it as a kwarg; `aux=None` is a no-op for the others.
+    from outdoor_nerf_depth_tpu.models.ngp import HashGridModel
 
-    def step(state, batch, rng, train_frac):
+    takes_occupancy = isinstance(model, HashGridModel)
+
+    def step(state, batch, rng, train_frac, aux=None):
         rays = batch.rays
         if isinstance(rays, rays_lib.Pixels):
             rays = cameras_lib.cast_pixels(rays, cams_dev, camtype, xnp=jnp)
+        model_kwargs = {"occupancy": aux} if takes_occupancy else {}
 
         compute_extras = config.lambda_depth > 0 and config.depth_loss_type in (
             "mse",
@@ -210,6 +218,7 @@ def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspect
                 train_frac=train_frac,
                 compute_extras=compute_extras,
                 zero_glo=False,
+                **model_kwargs,
             )
             loss_terms, stats = _total_loss(
                 config, model, batch, renderings, ray_history, rays
@@ -242,25 +251,71 @@ def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspect
     data = parallel.batch_sharding(mesh)
     # `data` acts as a pytree prefix: every leaf of the batch shards its
     # leading (ray) axis across the mesh.
-    return jax.jit(
+    jitted = jax.jit(
         step,
-        in_shardings=(repl, data, repl, None),
+        in_shardings=(repl, data, repl, None, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+    def call(state, batch, rng, train_frac, aux=None):
+        return jitted(state, batch, rng, train_frac, aux)
+
+    return call
+
+
+def make_occupancy_update_fn(config: Config, model, mesh):
+    """Compile the NGP occupancy-grid refresh; None for gridless models.
+
+    Returns update(params, grid, rng, warmup: bool) -> grid. Warmup sweeps
+    every cell; steady state refreshes a sampled subset (reference
+    `networks.py:240-269` cadence, here one jitted scatter-max).
+    """
+    from outdoor_nerf_depth_tpu.models.ngp import HashGridModel
+    from outdoor_nerf_depth_tpu.ops import occupancy as occ_lib
+
+    if not isinstance(model, HashGridModel):
+        return None
+    repl = parallel.replicated(mesh)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl),
+        out_shardings=repl,
+        static_argnums=(3,),
+    )
+    def update(params, grid, rng, warmup):
+        density_fn = lambda pts: model.apply(
+            params, pts, method=HashGridModel.density
+        )
+        return occ_lib.update_grid(
+            rng,
+            grid,
+            density_fn,
+            model.scale,
+            decay=config.occupancy_decay,
+            n_per_cascade=0 if warmup else config.occupancy_cells_per_update,
+            threshold=model.density_threshold,
+        )
+
+    return update
 
 
 def make_render_fn(config: Config, model, mesh):
     """Compile the chunked eval renderer (deterministic, full extras)."""
     repl = parallel.replicated(mesh)
     data = parallel.batch_sharding(mesh)
+    from outdoor_nerf_depth_tpu.models.ngp import HashGridModel
+
+    takes_occupancy = isinstance(model, HashGridModel)
 
     @functools.partial(
-        jax.jit, in_shardings=(repl, data), out_shardings=repl
+        jax.jit, in_shardings=(repl, data, repl), out_shardings=repl
     )
-    def render_chunk(params, rays):
+    def render_chunk(params, rays, aux=None):
+        kwargs = {"occupancy": aux} if takes_occupancy else {}
         renderings, _ = model.apply(
-            params, None, rays, train_frac=1.0, compute_extras=True
+            params, None, rays, train_frac=1.0, compute_extras=True, **kwargs
         )
         final = renderings[-1]
         return {k: v for k, v in final.items() if not k.startswith("ray_")}
@@ -268,7 +323,8 @@ def make_render_fn(config: Config, model, mesh):
     return render_chunk
 
 
-def render_image(render_chunk, params, batch, mesh, chunk_size: int = 16384):
+def render_image(render_chunk, params, batch, mesh, chunk_size: int = 16384,
+                 aux=None):
     """Render a full image by chunking rays through the jitted renderer.
 
     Chunks are padded to the device count, sharded, rendered, gathered, and
@@ -288,7 +344,7 @@ def render_image(render_chunk, params, batch, mesh, chunk_size: int = 16384):
         )
         chunk, pad = rays_lib.pad_to_multiple(chunk, n_dev)
         chunk = parallel.shard_batch(chunk, mesh)
-        out = render_chunk(params, chunk)
+        out = render_chunk(params, chunk, aux)
         out = jax.device_get(out)
         if pad:
             out = jax.tree_util.tree_map(lambda x: x[: len(x) - pad], out)

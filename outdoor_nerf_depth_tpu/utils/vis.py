@@ -15,11 +15,9 @@ import numpy as np
 
 
 def _colormap(name: str):
-    import matplotlib.cm as cm
+    import matplotlib
 
-    return cm.get_cmap(name) if hasattr(cm, "get_cmap") else __import__(
-        "matplotlib"
-    ).colormaps[name]
+    return matplotlib.colormaps[name]
 
 
 def colorize(

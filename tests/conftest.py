@@ -1,10 +1,14 @@
-"""Test harness: force CPU with a virtual 8-device mesh before jax imports.
+"""Test harness: force CPU with a virtual 8-device mesh before jax init.
 
 Mirrors the reference's CPU-only unit-test strategy
 (`/root/reference/nerf-methods/mipnerf360/scripts/run_all_unit_tests.sh`) but
 adds what the reference never had: multi-device tests, faked via
 `--xla_force_host_platform_device_count` so sharding paths compile and run
 without TPU hardware.
+
+NOTE: on this image a TPU plugin pre-configures `jax_platforms`, so the
+`JAX_PLATFORMS` env var alone is silently ignored — `jax.config.update`
+after import is required to actually select CPU.
 """
 
 import os
@@ -15,3 +19,7 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402  (must import after the env mutation above)
+
+jax.config.update("jax_platforms", "cpu")

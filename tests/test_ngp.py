@@ -1,0 +1,297 @@
+"""Tests for the NGP stack: hash grid, morton/occupancy, the full model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from outdoor_nerf_depth_tpu.models import ngp
+from outdoor_nerf_depth_tpu.ops import hashgrid, occupancy as occ
+
+
+class TestHashGrid:
+    def test_resolutions_match_reference_rule(self):
+        # L=16, Nmin=16, Nmax=2048: growth b ~= 1.3819 (the NGP paper).
+        res = hashgrid.level_resolutions(16, 16, 2048)
+        assert res[0] == 16 and res[-1] == 2048
+        assert np.all(np.diff(res) > 0)
+        np.testing.assert_allclose(
+            hashgrid.growth_factor(16, 16, 2048), 1.3819, atol=1e-3
+        )
+
+    def test_encode_shape_and_determinism(self):
+        enc = hashgrid.HashGridEncoding(n_levels=4, n_features=2,
+                                        log2_table_size=10, base_resolution=4,
+                                        max_resolution=32)
+        x = jnp.asarray(np.random.default_rng(0).uniform(size=(17, 3)))
+        vars_ = enc.init(jax.random.PRNGKey(0), x)
+        out = enc.apply(vars_, x)
+        assert out.shape == (17, 8)
+        np.testing.assert_array_equal(out, enc.apply(vars_, x))
+
+    def test_encoding_is_continuous(self):
+        enc = hashgrid.HashGridEncoding(n_levels=2, n_features=2,
+                                        log2_table_size=12, base_resolution=4,
+                                        max_resolution=8)
+        x = jnp.array([[0.31, 0.52, 0.77]])
+        vars_ = enc.init(jax.random.PRNGKey(1), x)
+        a = enc.apply(vars_, x)
+        b = enc.apply(vars_, x + 1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+    def test_grads_hit_only_touched_rows(self):
+        enc = hashgrid.HashGridEncoding(n_levels=1, n_features=1,
+                                        log2_table_size=12, base_resolution=4,
+                                        max_resolution=4)
+        x = jnp.array([[0.1, 0.1, 0.1]])
+        vars_ = enc.init(jax.random.PRNGKey(2), x)
+        g = jax.grad(lambda v: jnp.sum(enc.apply(v, x)))(vars_)
+        table_grad = np.asarray(jax.tree_util.tree_leaves(g)[0])
+        touched = np.count_nonzero(np.abs(table_grad).sum(-1))
+        assert 0 < touched <= 8  # exactly the 8 corners of one cell
+
+    def test_dense_levels_interpolate_exactly(self):
+        # A coarse level with injective indexing behaves as a voxel grid:
+        # value at a corner equals its table entry.
+        table = jnp.zeros((1, 2**12, 2)).at[0, :, :].set(0.0)
+        res = np.array([4])
+        # Corner (1,2,3) of a 4^3 grid -> dense index 1 + 2*5 + 3*25 = 86.
+        table = table.at[0, 86, :].set(jnp.array([3.0, 7.0]))
+        x = jnp.array([[0.25, 0.5, 0.75]])  # exactly cell corner (1,2,3)
+        out = hashgrid.encode(x, table, res, 2**12)
+        np.testing.assert_allclose(np.asarray(out)[0], [3.0, 7.0], atol=1e-5)
+
+
+class TestSphericalHarmonics:
+    def test_constant_term(self):
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        sh = hashgrid.spherical_harmonics(d)
+        np.testing.assert_allclose(float(sh[0, 0]), 0.28209479, rtol=1e-5)
+
+    def test_orthonormality_monte_carlo(self):
+        # E[Y_i Y_j] over the sphere = delta_ij / (4 pi).
+        rng = np.random.default_rng(3)
+        d = rng.normal(size=(200_000, 3))
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        sh = np.asarray(hashgrid.spherical_harmonics(jnp.asarray(d)))
+        gram = (sh.T @ sh) / len(d) * 4 * np.pi
+        np.testing.assert_allclose(gram, np.eye(16), atol=0.05)
+
+    def test_trunc_exp_grad_clamped(self):
+        g = jax.grad(lambda x: hashgrid.truncated_exp(x))(100.0)
+        np.testing.assert_allclose(float(g), np.exp(15.0), rtol=1e-5)
+        g2 = jax.grad(lambda x: hashgrid.truncated_exp(x))(1.0)
+        np.testing.assert_allclose(float(g2), np.e, rtol=1e-5)
+
+
+class TestMorton:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(4)
+        coords = jnp.asarray(rng.integers(0, 1024, (256, 3)), jnp.int32)
+        codes = occ.morton3d(coords)
+        back = occ.morton3d_invert(codes)
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(coords))
+
+    def test_golden_values(self):
+        # (1,0,0)->1, (0,1,0)->2, (0,0,1)->4, (1,1,1)->7, (2,0,0)->8.
+        coords = jnp.array([[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 1], [2, 0, 0]])
+        np.testing.assert_array_equal(
+            np.asarray(occ.morton3d(coords)), [1, 2, 4, 7, 8]
+        )
+
+
+class TestOccupancyGeometry:
+    def test_num_cascades(self):
+        assert occ.num_cascades(0.5) == 1
+        assert occ.num_cascades(4.0) == 4
+        assert occ.num_cascades(16.0) == 6
+
+    def test_point_cascade_assignment(self):
+        x = jnp.array([[0.1, 0.0, 0.0], [0.9, 0.0, 0.0], [3.5, 0.0, 0.0]])
+        casc = np.asarray(occ.point_cascade(x, scale=4.0))
+        np.testing.assert_array_equal(casc, [0, 1, 3])
+
+    def test_lookup_round_trip(self):
+        # Mark the cell containing a point; lookup must see it occupied.
+        grid = occ.init_grid(scale=1.0, resolution=16)
+        x = jnp.array([[0.3, -0.2, 0.1]])
+        casc = occ.point_cascade(x, 1.0)
+        flat, _ = occ.cell_index(x, casc, 1.0, 16)
+        grid = grid.at[casc[0], flat[0]].set(1.0)
+        assert bool(occ.lookup(grid, x, 1.0, 0.5)[0])
+        assert not bool(occ.lookup(grid, -x, 1.0, 0.5)[0])
+
+
+class TestGridUpdate:
+    def test_full_sweep_marks_dense_region(self):
+        grid = occ.init_grid(scale=0.5, resolution=8)
+        # Density: a ball of radius 0.2 at origin.
+        density_fn = lambda pts: jnp.where(
+            jnp.linalg.norm(pts, axis=-1) < 0.2, 10.0, 0.0
+        )
+        grid = occ.update_grid(jax.random.PRNGKey(0), grid, density_fn, 0.5)
+        occupied_frac = float((grid[0] > 0.01).mean())
+        assert 0.01 < occupied_frac < 0.3  # ball fills ~3% of the cube
+
+        center = occ.lookup(grid, jnp.zeros((1, 3)), 0.5, 0.01)
+        assert bool(center[0])
+        corner = occ.lookup(grid, jnp.full((1, 3), 0.45), 0.5, 0.01)
+        assert not bool(corner[0])
+
+    def test_decay_without_refresh(self):
+        grid = occ.init_grid(scale=0.5, resolution=8) + 1.0
+        zero_density = lambda pts: jnp.zeros(pts.shape[:-1])
+        g2 = occ.update_grid(jax.random.PRNGKey(1), grid, zero_density, 0.5,
+                             decay=0.9)
+        np.testing.assert_allclose(np.asarray(g2).max(), 0.9, atol=1e-6)
+
+
+class TestMarching:
+    def test_aabb_intersection(self):
+        o = jnp.array([[0.0, 0.0, -2.0], [5.0, 5.0, 5.0]])
+        d = jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+        t0, t1, hit = occ.intersect_aabb(o, d, 1.0)
+        assert bool(hit[0]) and not bool(hit[1])
+        np.testing.assert_allclose(float(t0[0]), 1.0, atol=1e-5)
+        np.testing.assert_allclose(float(t1[0]), 3.0, atol=1e-5)
+
+    def test_candidates_sorted_in_range(self):
+        t0 = jnp.array([0.1, 1.0])
+        t1 = jnp.array([5.0, 8.0])
+        edges = occ.march_candidates(jax.random.PRNGKey(0), t0, t1, 64)
+        e = np.asarray(edges)
+        assert np.all(np.diff(e, axis=-1) > 0)
+        np.testing.assert_allclose(e[:, 0], np.asarray(t0), rtol=1e-5)
+        np.testing.assert_allclose(e[:, -1], np.asarray(t1), rtol=1e-5)
+
+    def test_compaction_takes_first_occupied(self):
+        edges = jnp.linspace(0.0, 1.0, 9)[None]  # 8 intervals
+        occupied = jnp.array([[False, True, False, True, True, False, False, True]])
+        t_mid, dt, valid = occ.compact_occupied(edges, occupied, 3)
+        # First three occupied intervals: 1, 3, 4.
+        np.testing.assert_allclose(
+            np.asarray(t_mid)[0], [0.1875, 0.4375, 0.5625], atol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(dt)[0], 0.125, atol=1e-6)
+        assert np.all(np.asarray(valid)[0])
+
+    def test_compaction_pads_when_starved(self):
+        edges = jnp.linspace(0.0, 1.0, 9)[None]
+        occupied = jnp.zeros((1, 8), bool).at[0, 2].set(True)
+        t_mid, dt, valid = occ.compact_occupied(edges, occupied, 4)
+        assert np.asarray(valid)[0].tolist() == [True, False, False, False]
+        np.testing.assert_allclose(np.asarray(dt)[0, 1:], 0.0)
+
+
+class TestHashGridModel:
+    @pytest.fixture(scope="class")
+    def model_and_vars(self):
+        from tests.test_models import _unit_sphere_rays
+
+        model = ngp.HashGridModel(
+            scale=0.5,
+            max_samples=16,
+            n_candidates=64,
+            field_params=dict(n_levels=2, log2_table_size=10,
+                              base_resolution=4, max_resolution=16,
+                              hidden_width=16, geo_features=7),
+        )
+        rays = _unit_sphere_rays()
+        variables = model.init(
+            jax.random.PRNGKey(0), rng=None, rays=rays, train_frac=1.0,
+            compute_extras=False,
+        )
+        return model, variables
+
+    def test_dense_forward(self, model_and_vars):
+        from tests.test_models import _unit_sphere_rays
+
+        model, variables = model_and_vars
+        rays = _unit_sphere_rays(n=8, seed=7)
+        renderings, history = model.apply(
+            variables, jax.random.PRNGKey(1), rays, compute_extras=True
+        )
+        r = renderings[-1]
+        assert r["rgb"].shape == (8, 3)
+        assert np.all(np.isfinite(np.asarray(r["rgb"])))
+        assert history[-1]["weights"].shape == (8, 16)
+        assert np.all(np.asarray(r["samples_per_ray"]) == 16)
+
+    def test_occupancy_skips_empty_space(self, model_and_vars):
+        from tests.test_models import _unit_sphere_rays
+
+        model, variables = model_and_vars
+        rays = _unit_sphere_rays(n=8, seed=8)
+        grid = occ.init_grid(0.5, model.grid_resolution)  # all empty
+        renderings, _ = model.apply(
+            variables, None, rays, occupancy=grid
+        )
+        # Nothing occupied -> no valid samples -> zero opacity.
+        np.testing.assert_allclose(np.asarray(renderings[-1]["acc"]), 0.0,
+                                   atol=1e-6)
+
+    def test_grads_flow_through_table(self, model_and_vars):
+        from tests.test_models import _unit_sphere_rays
+
+        model, variables = model_and_vars
+        rays = _unit_sphere_rays(n=4, seed=9)
+
+        def loss(v):
+            renderings, _ = model.apply(v, None, rays)
+            return jnp.mean((renderings[-1]["rgb"] - 0.4) ** 2)
+
+        g = jax.grad(loss)(variables)
+        leaves = {jax.tree_util.keystr(p): x
+                  for p, x in jax.tree_util.tree_leaves_with_path(g)}
+        table_grads = [v for k, v in leaves.items() if "table" in k]
+        assert table_grads and float(jnp.abs(table_grads[0]).sum()) > 0
+
+    def test_occupancy_update_fn_and_train_step(self):
+        import outdoor_nerf_depth_tpu.parallel as parallel
+        from outdoor_nerf_depth_tpu.data import datasets as datasets_lib
+        from outdoor_nerf_depth_tpu.train import step as step_lib
+        from outdoor_nerf_depth_tpu.train.config import Config
+
+        config = Config(
+            model="ngp",
+            model_params=dict(
+                scale=0.5, max_samples=16, n_candidates=64,
+                field_params=dict(n_levels=2, log2_table_size=10,
+                                  base_resolution=4, max_resolution=16,
+                                  hidden_width=16, geo_features=7),
+            ),
+            batch_size=64,
+            lambda_depth=0.1,
+            depth_loss_type="mse",
+            depth_loss_reduce="mean_valid",
+            interlevel_loss_mult=0.0,
+            distortion_loss_mult=1e-3,
+            opacity_loss_mult=1e-3,
+            occupancy_cells_per_update=64,
+            lr_delay_steps=0,
+        )
+        dataset = datasets_lib.SyntheticDataset("train", global_batch_size=64,
+                                                seed=5)
+        mesh = parallel.make_mesh()
+        model, state = step_lib.init_state(config, jax.random.PRNGKey(0))
+        train_step = step_lib.make_train_step(
+            config, model, mesh, cameras=dataset.cameras,
+            camtype=dataset.camtype,
+        )
+        occ_update = step_lib.make_occupancy_update_fn(config, model, mesh)
+        assert occ_update is not None
+
+        grid = occ.init_grid(model.scale, model.grid_resolution)
+        grid = occ_update(state.params, grid, jax.random.PRNGKey(2), True)
+        assert np.asarray(grid).max() > 0  # density got written
+
+        losses = []
+        for i in range(6):
+            batch = parallel.shard_batch(dataset.sample_batch(), mesh)
+            state, stats = train_step(
+                state, batch, jax.random.fold_in(jax.random.PRNGKey(3), i),
+                0.5, grid,
+            )
+            losses.append(float(stats["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]

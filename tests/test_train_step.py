@@ -62,8 +62,14 @@ class TestShardedTrainStep:
         )
         return config, dataset, mesh, model, state, train_step
 
+    @staticmethod
+    def _fresh(state):
+        # The step donates its state argument; give each test its own copy.
+        return jax.tree_util.tree_map(jnp.copy, state)
+
     def test_step_runs_and_loss_decreases(self, setup):
         config, dataset, mesh, model, state, train_step = setup
+        state = self._fresh(state)
         rng = jax.random.PRNGKey(1)
         losses = []
         for i in range(12):
@@ -87,7 +93,7 @@ class TestShardedTrainStep:
     def test_stats_contain_loss_terms(self, setup):
         config, dataset, mesh, model, state, train_step = setup
         batch = parallel.shard_batch(dataset.sample_batch(), mesh)
-        _, stats = train_step(state, batch, jax.random.PRNGKey(2), 0.5)
+        _, stats = train_step(self._fresh(state), batch, jax.random.PRNGKey(2), 0.5)
         terms = stats["loss_terms"]
         for key in ("data", "depth", "interlevel", "distortion"):
             assert key in terms, f"missing loss term {key}"
@@ -97,7 +103,7 @@ class TestShardedTrainStep:
         # With lambda_depth > 0 and valid priors the depth term is nonzero.
         config, dataset, mesh, model, state, train_step = setup
         batch = parallel.shard_batch(dataset.sample_batch(), mesh)
-        _, stats = train_step(state, batch, jax.random.PRNGKey(3), 0.5)
+        _, stats = train_step(self._fresh(state), batch, jax.random.PRNGKey(3), 0.5)
         assert float(stats["loss_terms"]["depth"]) > 0
 
 
