@@ -80,6 +80,10 @@ class Config:
     # -- depth bookkeeping
     depth_scale: float = 1.0  # filled by the loader (pose-normalization scale)
 
+    # -- profiling (what the reference lacks: real tracing, SURVEY.md 5.1)
+    profile_start_step: int = 0  # 0 disables the jax profiler trace
+    profile_num_steps: int = 5
+
     # -- logging / eval / checkpoints
     print_every: int = 100
     checkpoint_every: int = 5000
@@ -118,7 +122,9 @@ def load_config(
     values = {}
     if path:
         with open(path) as f:
-            values.update(json.load(f))
+            values.update(
+                {k: v for k, v in json.load(f).items() if not k.startswith("_")}
+            )
     for item in overrides:
         if "=" not in item:
             raise ValueError(f"override {item!r} must be key=value")

@@ -99,6 +99,12 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
     t_last = time.perf_counter()
     rays_since = 0
     for step in range(start_step, max_steps):
+        if config.profile_start_step and step == config.profile_start_step:
+            jax.profiler.start_trace(os.path.join(config.exp_dir, "trace"))
+        if config.profile_start_step and step == (
+            config.profile_start_step + config.profile_num_steps
+        ):
+            jax.profiler.stop_trace()
         batch = parallel.shard_batch(next(batches), mesh)
         step_rng = jax.random.fold_in(rng, step)
         if occ_update is not None and step % config.occupancy_update_every == 0:

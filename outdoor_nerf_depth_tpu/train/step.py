@@ -115,8 +115,16 @@ def _total_loss(config: Config, model, batch, renderings, ray_history, rays):
     rgb_losses, mses, depth_losses = [], [], []
     use_depth = config.lambda_depth > 0 and batch.depth_sup is not None
     for i, rendering in enumerate(renderings):
+        rgb_pred = rendering["rgb"]
+        if "autoexpo_scale" in rendering:
+            # Learned per-image exposure: normalize the prediction back to
+            # the canonical exposure before comparing (reference
+            # `ddp_train_nerf.py:472-479`).
+            rgb_pred = (rgb_pred - rendering["autoexpo_shift"]) / rendering[
+                "autoexpo_scale"
+            ]
         rl, mse = losses_lib.rgb_loss(
-            rendering["rgb"],
+            rgb_pred,
             batch.rgb[..., :3],
             lossmult=rays.lossmult,
             kind=config.data_loss_type,

@@ -89,4 +89,4 @@ def save_depth_u16(depth_m, path: str):
     arr = np.clip(np.nan_to_num(np.asarray(depth_m)) * 256.0, 0, 65535).astype(
         np.uint16
     )
-    PILImage.fromarray(arr, mode="I;16").save(path)
+    PILImage.fromarray(arr).save(path)
