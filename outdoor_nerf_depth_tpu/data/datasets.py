@@ -246,6 +246,55 @@ class SyntheticDataset(RayDataset):
         self._finalize()
 
 
+class BlenderDataset(RayDataset):
+    """Blender/NGP `transforms_{split}.json` synthetic scenes.
+
+    The reference supports this layout in both mipnerf360
+    (`internal/datasets.py:509-563`) and ngp-depth (`datasets/nerf.py`):
+    white-composited RGBA images, camera_angle_x intrinsics, c2w matrices
+    already in OpenGL convention.
+    """
+
+    def __init__(
+        self,
+        scene_dir: str,
+        split: str,
+        global_batch_size: int,
+        near: float = 2.0,
+        far: float = 6.0,
+        white_background: bool = True,
+        cast_on_device: bool = True,
+    ):
+        import json
+
+        super().__init__(split, global_batch_size, cast_on_device)
+        with open(os.path.join(scene_dir, f"transforms_{split}.json")) as f:
+            meta = json.load(f)
+
+        images, poses = [], []
+        for frame in meta["frames"]:
+            path = os.path.join(scene_dir, frame["file_path"])
+            if not os.path.splitext(path)[1]:
+                path += ".png"
+            img = load_image(path) / 255.0
+            if img.shape[-1] == 4:
+                alpha = img[..., 3:]
+                rgb = img[..., :3]
+                img = rgb * alpha + (1.0 - alpha) * (1.0 if white_background else 0.0)
+            images.append(img.astype(np.float32))
+            poses.append(np.asarray(frame["transform_matrix"])[:3, :4])
+        self.images = np.stack(images)
+        self.camtoworlds = np.stack(poses).astype(np.float32)
+
+        h, w = self.images.shape[1:3]
+        focal = 0.5 * w / np.tan(0.5 * float(meta["camera_angle_x"]))
+        self.pixtocams = cameras_lib.pinhole_pixtocam(focal, w, h).astype(
+            np.float32
+        )
+        self.near, self.far = near, far
+        self._finalize()
+
+
 class DrivingSceneDataset(RayDataset):
     """COLMAP driving scene in the reference's DTU_format layout.
 

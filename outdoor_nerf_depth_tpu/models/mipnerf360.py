@@ -191,7 +191,17 @@ class ProposalModel(nn.Module):
                 )
 
             rendering = volren.composite(
-                field["rgb"], weights, tdist, bg_rgbs, rays.far, compute_extras
+                field["rgb"],
+                weights,
+                tdist,
+                bg_rgbs,
+                rays.far,
+                compute_extras,
+                extras={
+                    k: v
+                    for k, v in field.items()
+                    if k.startswith("normals") or k == "roughness"
+                },
             )
 
             if compute_extras:
@@ -208,6 +218,8 @@ class ProposalModel(nn.Module):
                     tdist=tdist,
                     weights=weights,
                     density=field["density"],
+                    normals=field.get("normals"),
+                    normals_pred=field.get("normals_pred"),
                 )
             )
 

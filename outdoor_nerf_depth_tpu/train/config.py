@@ -31,6 +31,7 @@ class Config:
     batch_size: int = 4096  # global rays per step
     patch_size: int = 1
     cast_rays_in_train_step: bool = True
+    use_native_batcher: bool = True  # C++ dataplane when buildable
     depth_sup_type: str = "gt"  # gt | stereo_crop | mono_crop | mff_crop | rgbonly
     depth_crop_range: float = 0.0
     depth_keep_ratio: float = 0.0
@@ -56,6 +57,11 @@ class Config:
     distortion_loss_mult: float = 0.01
     opacity_loss_mult: float = 0.0
     autoexpo_loss_mult: float = 0.0
+    orientation_loss_mult: float = 0.0
+    orientation_coarse_loss_mult: float = 0.0
+    orientation_loss_target: str = "normals_pred"
+    predicted_normal_loss_mult: float = 0.0
+    predicted_normal_coarse_loss_mult: float = 0.0
     weight_decay_mults: Any = dataclasses.field(default_factory=dict)
 
     # -- NGP occupancy grid

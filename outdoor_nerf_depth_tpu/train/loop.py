@@ -92,8 +92,23 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
 
         occupancy = occ_lib.init_grid(model.scale, model.grid_resolution)
 
-    batches = datasets_lib.PrefetchIterator(dataset.sample_batch)
+    sample_fn = dataset.sample_batch
+    if config.use_native_batcher and getattr(dataset, "pixtocams", None) is not None:
+        try:
+            from outdoor_nerf_depth_tpu.data import native_batcher
 
+            if native_batcher.is_available() and dataset.pixtocams.ndim == 2:
+                sample_fn = native_batcher.NativeRayBatcher(
+                    dataset, seed=config.seed
+                ).sample_batch
+                log_fn("using native C++ dataplane for batch assembly")
+        except Exception as e:  # pragma: no cover - toolchain-dependent
+            log_fn(f"native dataplane disabled: {e}")
+    batches = datasets_lib.PrefetchIterator(sample_fn)
+
+    from outdoor_nerf_depth_tpu.utils.logging import MetricWriter
+
+    writer = MetricWriter(os.path.join(config.exp_dir, "logs"))
     history = []
     gc.disable()
     t_last = time.perf_counter()
@@ -138,6 +153,7 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
             history.append(entry)
             log_fn(json.dumps({k: round(v, 5) if isinstance(v, float) else v
                                for k, v in entry.items()}))
+            writer.scalars(step + 1, entry, prefix="train")
             t_last, rays_since = now, 0
             gc.collect()
 
@@ -146,13 +162,28 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
             ckpt.save(step + 1, jax.device_get(state))
 
     gc.enable()
+    writer.close()
     ckpt.wait()
     ckpt.close()
     return state, history
 
 
-def evaluate(config: Config, state, split: str = "test", max_images=None, log_fn=print):
-    """Render the split and compute PSNR/SSIM(/LPIPS) + depth metrics."""
+def evaluate(
+    config: Config,
+    state,
+    split: str = "test",
+    max_images=None,
+    log_fn=print,
+    save_renders: bool = True,
+    occupancy=None,
+):
+    """Render the split and compute PSNR/SSIM(/LPIPS) + depth metrics.
+
+    With `save_renders`, writes `color_###.png`, `depth_###.png` (uint16
+    metres*256, the dataset contract) and a color/depth/error side-by-side
+    into `exp_dir/renders/` — the reference's test-pred dump
+    (`mipnerf360/train.py:303-388`).
+    """
     dataset = build_dataset(config, split)
     if hasattr(dataset, "scene_scale"):
         config = config.replace(depth_scale=float(dataset.scene_scale))
@@ -163,12 +194,17 @@ def evaluate(config: Config, state, split: str = "test", max_images=None, log_fn
         compute_ssim=config.compute_ssim, compute_lpips=config.compute_lpips
     )
 
+    render_dir = os.path.join(config.exp_dir, "renders")
+    if save_renders:
+        os.makedirs(render_dir, exist_ok=True)
+
     n = dataset.n_images if max_images is None else min(max_images, dataset.n_images)
     per_image = []
     for i in range(n):
         batch = dataset.image_batch(i)
         rendering = step_lib.render_image(
-            render_chunk, state.params, batch, mesh, config.render_chunk_size
+            render_chunk, state.params, batch, mesh, config.render_chunk_size,
+            aux=occupancy,
         )
         m = suite(
             np.asarray(rendering["rgb"]),
@@ -179,6 +215,28 @@ def evaluate(config: Config, state, split: str = "test", max_images=None, log_fn
         )
         per_image.append(m)
         log_fn(json.dumps({"image": i, **{k: round(v, 4) for k, v in m.items()}}))
+
+        if save_renders:
+            from outdoor_nerf_depth_tpu.utils import image as image_lib
+            from outdoor_nerf_depth_tpu.utils import vis as vis_lib
+
+            rgb = np.asarray(rendering["rgb"])
+            depth = np.asarray(rendering["distance_mean"]) / config.depth_scale
+            image_lib.save_img_u8(rgb, os.path.join(render_dir, f"color_{i:03d}.png"))
+            image_lib.save_depth_u16(
+                depth, os.path.join(render_dir, f"depth_{i:03d}.png")
+            )
+            panels = [rgb, np.asarray(batch.rgb), vis_lib.visualize_depth(depth)]
+            if batch.depth_gt is not None:
+                panels.append(
+                    vis_lib.depth_error_map(
+                        depth, np.asarray(batch.depth_gt) / config.depth_scale
+                    )
+                )
+            image_lib.save_img_u8(
+                vis_lib.side_by_side(*panels),
+                os.path.join(render_dir, f"summary_{i:03d}.png"),
+            )
 
     mean = {
         k: float(np.mean([m[k] for m in per_image]))

@@ -202,6 +202,41 @@ def distortion_loss(ray_history) -> jax.Array:
     return jnp.mean(inter + intra)
 
 
+def orientation_loss(ray_history, viewdirs, coarse_mult, final_mult,
+                     target="normals_pred") -> jax.Array:
+    """Ref-NeRF orientation regularizer: penalize normals facing away from
+    the camera, weighted by compositing weight (reference
+    `train_utils.py:183-199`)."""
+    total = 0.0
+    v = -viewdirs
+    for i, level in enumerate(ray_history):
+        n = level.get(target)
+        if n is None:
+            raise ValueError(f"orientation loss needs {target!r} in history")
+        n_dot_v = jnp.sum(n * v[..., None, :], axis=-1)
+        per_ray = jnp.sum(
+            level["weights"] * jnp.minimum(0.0, n_dot_v) ** 2, axis=-1
+        )
+        mult = final_mult if i == len(ray_history) - 1 else coarse_mult
+        total += mult * jnp.mean(per_ray)
+    return total
+
+
+def predicted_normal_loss(ray_history, coarse_mult, final_mult) -> jax.Array:
+    """Tie predicted normals to density-gradient normals (Ref-NeRF)."""
+    total = 0.0
+    for i, level in enumerate(ray_history):
+        n, n_pred = level.get("normals"), level.get("normals_pred")
+        if n is None or n_pred is None:
+            raise ValueError("predicted-normal loss needs both normal fields")
+        per_ray = jnp.sum(
+            level["weights"] * (1.0 - jnp.sum(n * n_pred, axis=-1)), axis=-1
+        )
+        mult = final_mult if i == len(ray_history) - 1 else coarse_mult
+        total += mult * jnp.mean(per_ray)
+    return total
+
+
 def opacity_entropy_loss(acc, eps: float = 1e-5) -> jax.Array:
     """NGP's opacity regularizer: -o log o pushes rays to commit (0 or 1)."""
     o = jnp.clip(acc, eps, 1.0 - eps)

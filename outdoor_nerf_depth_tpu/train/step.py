@@ -169,6 +169,23 @@ def _total_loss(config: Config, model, batch, renderings, ray_history, rays):
         loss_terms["distortion"] = (
             config.distortion_loss_mult * losses_lib.distortion_loss(ray_history)
         )
+    if config.orientation_loss_mult > 0 or config.orientation_coarse_loss_mult > 0:
+        loss_terms["orientation"] = losses_lib.orientation_loss(
+            ray_history,
+            rays.viewdirs,
+            config.orientation_coarse_loss_mult,
+            config.orientation_loss_mult,
+            target=config.orientation_loss_target,
+        )
+    if (
+        config.predicted_normal_loss_mult > 0
+        or config.predicted_normal_coarse_loss_mult > 0
+    ):
+        loss_terms["predicted_normals"] = losses_lib.predicted_normal_loss(
+            ray_history,
+            config.predicted_normal_coarse_loss_mult,
+            config.predicted_normal_loss_mult,
+        )
     if config.opacity_loss_mult > 0 and "acc" in renderings[-1]:
         loss_terms["opacity"] = (
             config.opacity_loss_mult

@@ -88,6 +88,33 @@ def ray_weight_strip(tdist, weights, width: int = 512) -> np.ndarray:
     return colorize(out, cmap="viridis")
 
 
+def plot_camera_frusta(frusta_json: str, out_path: str):
+    """Render exported camera frusta (see data.preprocess) to a PNG.
+
+    A matplotlib substitute for the reference's open3d camera visualizer.
+    """
+    import json
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(frusta_json) as f:
+        data = json.load(f)
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    for fr in data["frusta"]:
+        c = np.asarray(fr["corners"])  # [5, 3]: apex + 4 image corners
+        for i in range(1, 5):
+            j = 1 + (i % 4)
+            ax.plot(*np.stack([c[0], c[i]]).T, "b-", lw=0.5)
+            ax.plot(*np.stack([c[i], c[j]]).T, "r-", lw=0.5)
+    ax.set_box_aspect((1, 1, 1))
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
 def side_by_side(*images) -> np.ndarray:
     """Horizontally concatenate [H,W,3] images with 2px white separators."""
     images = [np.asarray(im, dtype=np.float32) for im in images]

@@ -50,7 +50,18 @@ def main(argv):
     c.add_argument("--arch", default="guided", choices=["guided", "resnet"])
     c.add_argument("--params", default=None)
 
+    for sp in (s, c):
+        sp.add_argument(
+            "--cpu", action="store_true",
+            help="force the CPU backend (conv3d compiles can stall on a "
+            "tunneled TPU)",
+        )
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
