@@ -201,9 +201,80 @@ def update_grid(
 
     decayed = density_grid * decay
     cascade_idx = jnp.broadcast_to(jnp.arange(c)[:, None], cells.shape)
-    return decayed.at[cascade_idx.reshape(-1), cells.reshape(-1)].max(
+    updated = decayed.at[cascade_idx.reshape(-1), cells.reshape(-1)].max(
         jnp.maximum(sigma.reshape(-1), 0.0)
     )
+    # Cells culled by `mark_invisible_cells` carry a negative sentinel and
+    # must never be resurrected (reference `networks.py:262` only updates
+    # cells with grid >= 0).
+    return jnp.where(density_grid < 0, density_grid, updated)
+
+
+def mark_invisible_cells(
+    density_grid,
+    camtoworlds,
+    intrinsics,
+    width: int,
+    height: int,
+    scale: float,
+    near: float = 0.01,
+    chunk: int = 262_144,
+):
+    """Permanently exclude cells seen by no training camera.
+
+    Capability parity with `NGP.mark_invisible_cells`
+    (`ngp-depth/models/networks.py:197-238`): project every cell center into
+    every camera (OpenGL c2w convention); cells in front of no camera's
+    image plane get density -1 (a sentinel no refresh overwrites, since
+    `update_grid` scatter-maxes with values >= 0 only onto *sampled* cells
+    but decay keeps negatives negative).
+
+    Args:
+      density_grid: [C, R^3].
+      camtoworlds: [N, 3, 4] OpenGL camera-to-world.
+      intrinsics: [3, 3] K (fx, fy, cx, cy layout).
+      width, height: image size in pixels.
+      scale: scene half-extent.
+    """
+    c, n_cells = density_grid.shape
+    resolution = int(round(n_cells ** (1.0 / 3.0)))
+    cells = jnp.arange(n_cells)
+    coords = jnp.stack(
+        [
+            cells // (resolution * resolution),
+            (cells // resolution) % resolution,
+            cells % resolution,
+        ],
+        axis=-1,
+    ).astype(jnp.float32)
+    u = (coords + 0.5) / resolution - 0.5
+    extents = jnp.asarray(cascade_extents(scale), jnp.float32)
+
+    rot = camtoworlds[:, :3, :3]
+    t = camtoworlds[:, :3, 3]
+    k_fx, k_fy = intrinsics[0, 0], intrinsics[1, 1]
+    k_cx, k_cy = intrinsics[0, 2], intrinsics[1, 2]
+
+    new_grid = density_grid
+    for ci in range(c):
+        pts = u * 2.0 * extents[ci]  # [n_cells, 3] world
+        visible = jnp.zeros((n_cells,), bool)
+        for start in range(0, n_cells, chunk):
+            p = pts[start : start + chunk]
+            # world -> camera (OpenGL): x_cam = R^T (p - t); camera looks -z.
+            rel = p[None, :, :] - t[:, None, :]
+            cam = jnp.einsum("nij,nki->nkj", rot, rel)
+            z = -cam[..., 2]
+            in_front = z > near
+            x = k_fx * (cam[..., 0] / jnp.maximum(z, near)) + k_cx
+            y = -k_fy * (cam[..., 1] / jnp.maximum(z, near)) + k_cy
+            in_img = (x >= 0) & (x < width) & (y >= 0) & (y < height)
+            vis = jnp.any(in_front & in_img, axis=0)
+            visible = visible.at[start : start + chunk].set(vis)
+        new_grid = new_grid.at[ci].set(
+            jnp.where(visible, new_grid[ci], -1.0)
+        )
+    return new_grid
 
 
 def mean_density(density_grid) -> jax.Array:

@@ -1,0 +1,106 @@
+"""Tests for utils.raw and occupancy visibility culling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from outdoor_nerf_depth_tpu.ops import occupancy as occ
+from outdoor_nerf_depth_tpu.utils import raw
+
+
+class TestBayer:
+    def test_mask_partition(self):
+        px, py = np.meshgrid(np.arange(8), np.arange(8), indexing="xy")
+        mask = raw.pixels_to_bayer_mask(px, py)
+        # Each pixel observes exactly one channel.
+        np.testing.assert_allclose(mask.sum(-1), 1.0)
+        # 2x2 tile: R once, G twice, B once.
+        np.testing.assert_allclose(mask[:2, :2, 0].sum(), 1.0)
+        np.testing.assert_allclose(mask[:2, :2, 1].sum(), 2.0)
+        np.testing.assert_allclose(mask[:2, :2, 2].sum(), 1.0)
+
+    def test_demosaic_constant_image(self):
+        bayer = np.full((16, 16), 0.25, np.float32)
+        rgb = raw.bilinear_demosaic(bayer)
+        np.testing.assert_allclose(rgb, 0.25, atol=1e-5)
+
+    def test_demosaic_recovers_channels(self):
+        # Distinct constant values per RGGB site must land in their channel.
+        yy, xx = np.mgrid[0:16, 0:16]
+        bayer = np.where(
+            (yy % 2 == 0) & (xx % 2 == 0), 1.0,
+            np.where((yy % 2) != (xx % 2), 0.5, 0.1),
+        ).astype(np.float32)
+        rgb = raw.bilinear_demosaic(bayer)
+        np.testing.assert_allclose(rgb[..., 0], 1.0, atol=1e-4)
+        np.testing.assert_allclose(rgb[..., 1], 0.5, atol=1e-4)
+        np.testing.assert_allclose(rgb[..., 2], 0.1, atol=1e-4)
+
+
+class TestRawHelpers:
+    def test_exposure_values(self):
+        meta = [{"ExposureTime": 0.01, "ISOSpeedRatings": 100},
+                {"ExposureTime": 0.02, "ISOSpeedRatings": 400}]
+        np.testing.assert_allclose(raw.exposure_values(meta), [0.001, 0.008])
+
+    def test_normalize_exposure(self):
+        imgs = np.random.default_rng(0).uniform(0, 4, (2, 8, 8, 3))
+        out, level = raw.normalize_exposure(imgs, percentile=100)
+        np.testing.assert_allclose(out.max(), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(level, imgs.max(), rtol=1e-6)
+
+    def test_match_affine_color_exact_for_affine(self):
+        rng = np.random.default_rng(1)
+        img = rng.uniform(size=(8, 8, 3)).astype(np.float64)
+        A = rng.normal(size=(3, 3))
+        b = rng.normal(size=(3,)) * 0.1
+        ref = img @ A.T + b
+        out = raw.match_affine_color(img, ref)
+        np.testing.assert_allclose(out, ref, atol=1e-8)
+
+    def test_postprocess_raw_gamma(self):
+        x = jnp.array([0.0, 0.25, 1.0, 2.0])
+        y = np.asarray(raw.postprocess_raw(x))
+        np.testing.assert_allclose(y[0], 0.0, atol=1e-6)
+        np.testing.assert_allclose(y[2], 1.0, atol=1e-6)
+        np.testing.assert_allclose(y[3], 1.0, atol=1e-6)  # clipped
+        assert y[1] > 0.25  # gamma brightens
+
+
+class TestVisibilityCulling:
+    def _camera_looking_minus_z(self):
+        # OpenGL c2w: camera at +5z looking toward origin (-z direction).
+        c2w = np.eye(4)[:3]
+        c2w[:, 3] = [0.0, 0.0, 5.0]
+        return jnp.asarray(c2w[None], jnp.float32)
+
+    def test_cells_behind_camera_culled(self):
+        grid = occ.init_grid(scale=0.5, resolution=8)
+        K = jnp.asarray(
+            [[40.0, 0, 16.0], [0, 40.0, 16.0], [0, 0, 1.0]], jnp.float32
+        )
+        culled = occ.mark_invisible_cells(
+            grid, self._camera_looking_minus_z(), K, 32, 32, scale=0.5
+        )
+        culled = np.asarray(culled)
+        # The scene cube sits in front of the camera with a wide FOV: most
+        # cells visible (>= 0), none resurrected.
+        assert (culled >= 0).mean() > 0.5
+
+        # A camera looking AWAY (+z): everything is behind it.
+        c2w = np.eye(4)[:3]
+        c2w[:, 3] = [0, 0, -5.0]
+        c2w[:3, :3] = np.diag([1.0, 1.0, 1.0])  # still looks -z, scene behind
+        culled2 = np.asarray(
+            occ.mark_invisible_cells(
+                grid, jnp.asarray(c2w[None], jnp.float32), K, 32, 32, scale=0.5
+            )
+        )
+        np.testing.assert_allclose(culled2, -1.0)
+
+    def test_update_never_resurrects_invisible(self):
+        grid = occ.init_grid(scale=0.5, resolution=8).at[0, :10].set(-1.0)
+        dense = lambda pts: jnp.full(pts.shape[:-1], 5.0)
+        g2 = occ.update_grid(jax.random.PRNGKey(0), grid, dense, 0.5)
+        assert np.all(np.asarray(g2)[0, :10] == -1.0)
+        assert np.asarray(g2)[0, 10:].max() > 0

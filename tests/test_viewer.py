@@ -1,0 +1,49 @@
+"""Headless tests for the orbit-camera math of viewer.py."""
+
+import numpy as np
+
+from viewer import OrbitCamera
+
+
+class TestOrbitCamera:
+    def test_position_on_sphere(self):
+        cam = OrbitCamera(center=(1.0, 2.0, 3.0), radius=5.0)
+        for theta, phi in [(0, 0), (1.0, 0.5), (-2.0, -1.0)]:
+            cam.theta, cam.phi = theta, phi
+            np.testing.assert_allclose(
+                np.linalg.norm(cam.position() - cam.center), 5.0, rtol=1e-9
+            )
+
+    def test_pose_looks_at_center(self):
+        cam = OrbitCamera(radius=3.0, theta=0.7, phi=0.3)
+        pose = cam.pose()
+        # OpenGL: viewing direction is -z axis of the pose.
+        view = -pose[:3, 2]
+        to_center = cam.center - pose[:3, 3]
+        to_center /= np.linalg.norm(to_center)
+        np.testing.assert_allclose(view, to_center, atol=1e-9)
+        # Orthonormal rotation.
+        R = pose[:3, :3]
+        np.testing.assert_allclose(R.T @ R, np.eye(3), atol=1e-9)
+
+    def test_zoom_clamps(self):
+        cam = OrbitCamera(radius=1.0)
+        for _ in range(100):
+            cam.zoom(0.01)
+        assert cam.radius >= 1e-3
+
+    def test_phi_clamped(self):
+        cam = OrbitCamera()
+        cam.orbit(0.0, 10.0)
+        assert cam.phi <= 1.5
+
+    def test_pan_moves_in_view_plane(self):
+        cam = OrbitCamera(radius=2.0, theta=0.5, phi=0.2)
+        before_pose = cam.pose()
+        view = before_pose[:3, 2]
+        before = cam.center.copy()
+        cam.pan(0.1, 0.0)
+        delta = cam.center - before
+        # Pan is orthogonal to the viewing axis.
+        np.testing.assert_allclose(np.dot(delta, view), 0.0, atol=1e-9)
+        assert np.linalg.norm(delta) > 0

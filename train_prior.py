@@ -1,0 +1,112 @@
+"""CLI: train a depth-prior network (stereo or completion).
+
+  python train_prior.py stereo --data ROOT [--variant cfnet] [--steps 20000]
+      [--batch 2] [--lr 1e-3] [--out stereo_params.msgpack] [--cpu]
+  python train_prior.py complete --data ROOT [--arch guided] ...
+
+Replaces the reference's four training drivers (`CFNet/main.py`,
+`PCWNet/main.py`, `std2019.../main.py`, `mffnet/train.py`) with one optax
+loop over the folder-layout datasets in `depth_priors/datasets.py`.
+"""
+
+import argparse
+import sys
+import time
+
+
+def main(argv):
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name in ("stereo", "complete"):
+        q = sub.add_parser(name)
+        q.add_argument("--data", required=True)
+        q.add_argument("--steps", type=int, default=20000)
+        q.add_argument("--batch", type=int, default=2)
+        q.add_argument("--lr", type=float, default=1e-3)
+        q.add_argument("--crop", type=int, nargs=2, default=(256, 512))
+        q.add_argument("--out", default=None)
+        q.add_argument("--print-every", type=int, default=50)
+        q.add_argument("--cpu", action="store_true")
+        if name == "stereo":
+            q.add_argument("--variant", default="cfnet", choices=["cfnet", "pcwnet"])
+            q.add_argument("--max-disparity", type=int, default=192)
+        else:
+            q.add_argument("--arch", default="guided", choices=["guided", "resnet"])
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from outdoor_nerf_depth_tpu.depth_priors import (
+        completion, datasets as prior_data, stereo,
+    )
+
+    if args.cmd == "stereo":
+        ds = prior_data.StereoPairDataset(args.data, crop=tuple(args.crop))
+        model = stereo.StereoNet(
+            variant=args.variant, max_disparity=args.max_disparity
+        )
+        l, r, d = ds.sample_batch(args.batch)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(l), jnp.asarray(r))
+
+        def loss_fn(v, l, r, d):
+            out = model.apply(v, l, r)
+            return stereo.multi_scale_loss(out, d, args.max_disparity)
+
+    else:
+        ds = prior_data.CompletionDataset(args.data, crop=tuple(args.crop))
+        cls = (
+            completion.GuidedCompletionNet
+            if args.arch == "guided"
+            else completion.DepthCompletionNet
+        )
+        model = cls()
+        rgb, sp, gt = ds.sample_batch(args.batch)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(rgb), jnp.asarray(sp)
+        )
+
+        def loss_fn(v, rgb, sp, gt):
+            pred = model.apply(v, rgb, sp)
+            return (
+                completion.masked_depth_mse(pred, gt)
+                + 0.01 * completion.edge_aware_smoothness(pred, rgb)
+            )
+
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def train_step(variables, opt_state, *batch):
+        loss, grads = jax.value_and_grad(loss_fn)(variables, *batch)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    t0 = time.perf_counter()
+    for step in range(args.steps):
+        batch = tuple(jnp.asarray(a) for a in ds.sample_batch(args.batch))
+        variables, opt_state, loss = train_step(variables, opt_state, *batch)
+        if (step + 1) % args.print_every == 0:
+            dt = time.perf_counter() - t0
+            print(
+                f"step {step + 1}: loss {float(loss):.4f} "
+                f"({args.print_every / dt:.2f} it/s)",
+                flush=True,
+            )
+            t0 = time.perf_counter()
+
+    if args.out:
+        import flax.serialization
+
+        with open(args.out, "wb") as f:
+            f.write(flax.serialization.to_bytes(variables))
+        print(f"saved params to {args.out}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
