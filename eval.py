@@ -20,9 +20,6 @@ def main(argv):
         evaluate_renders(gt_dir, pred_dir, out_path=out)
         return
 
-    import jax
-
-    from outdoor_nerf_depth_tpu.train import checkpoints as ckpt_lib
     from outdoor_nerf_depth_tpu.train import step as step_lib
     from outdoor_nerf_depth_tpu.train.config import load_config
     from outdoor_nerf_depth_tpu.train.loop import evaluate
@@ -37,13 +34,9 @@ def main(argv):
             overrides.append(arg)
     config = load_config(path, overrides)
 
-    _, state = step_lib.init_state(config, jax.random.PRNGKey(config.seed))
-    ckpt = ckpt_lib.CheckpointManager(
-        os.path.join(config.exp_dir, "checkpoints"), keep=config.keep_checkpoints
-    )
-    state, step = ckpt.restore(state)
+    _, state, occupancy, step = step_lib.load_checkpoint(config)
     print(f"restored step {step}")
-    evaluate(config, state)
+    evaluate(config, state, occupancy=occupancy)
 
 
 if __name__ == "__main__":

@@ -77,11 +77,6 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
     rng = jax.random.PRNGKey(config.seed)
     model, state = step_lib.init_state(config, rng)
 
-    ckpt = ckpt_lib.CheckpointManager(
-        os.path.join(config.exp_dir, "checkpoints"), keep=config.keep_checkpoints
-    )
-    state, start_step = ckpt.restore(state)
-
     train_step = step_lib.make_train_step(
         config, model, mesh, cameras=dataset.cameras, camtype=dataset.camtype
     )
@@ -91,6 +86,16 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
         from outdoor_nerf_depth_tpu.ops import occupancy as occ_lib
 
         occupancy = occ_lib.init_grid(model.scale, model.grid_resolution)
+
+    # The checkpoint covers params/opt state AND sampler state (the NGP
+    # occupancy grid), so resume and eval see the same acceleration
+    # structure that training built.
+    ckpt = ckpt_lib.CheckpointManager(
+        os.path.join(config.exp_dir, "checkpoints"), keep=config.keep_checkpoints
+    )
+    template = {"state": state, "occupancy": occupancy}
+    restored, start_step = ckpt.restore(template)
+    state, occupancy = restored["state"], restored["occupancy"]
 
     sample_fn = dataset.sample_batch
     if config.use_native_batcher and getattr(dataset, "pixtocams", None) is not None:
@@ -159,13 +164,16 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
 
         if (step + 1) % config.checkpoint_every == 0 or step + 1 == max_steps:
             # Orbax coordinates multi-host saves itself; every process calls.
-            ckpt.save(step + 1, jax.device_get(state))
+            ckpt.save(
+                step + 1,
+                jax.device_get({"state": state, "occupancy": occupancy}),
+            )
 
     gc.enable()
     writer.close()
     ckpt.wait()
     ckpt.close()
-    return state, history
+    return state, history, occupancy
 
 
 def evaluate(
@@ -200,8 +208,10 @@ def evaluate(
 
     n = dataset.n_images if max_images is None else min(max_images, dataset.n_images)
     per_image = []
+    eval_t0, eval_rays = time.perf_counter(), 0
     for i in range(n):
         batch = dataset.image_batch(i)
+        eval_rays += dataset.height * dataset.width
         rendering = step_lib.render_image(
             render_chunk, state.params, batch, mesh, config.render_chunk_size,
             aux=occupancy,
@@ -243,5 +253,9 @@ def evaluate(
         for k in per_image[0]
         if per_image[0][k] is not None
     }
+    # test_rays_per_sec: the eval-side throughput counter the reference
+    # tracks (`mipnerf360/train.py:258-262`). Includes compile time for the
+    # first chunk shape; steady-state is higher.
+    mean["test_rays_per_sec"] = eval_rays / (time.perf_counter() - eval_t0)
     log_fn(json.dumps({"split": split, "mean": {k: round(v, 4) for k, v in mean.items()}}))
     return mean, per_image

@@ -289,6 +289,35 @@ def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspect
     return call
 
 
+def load_checkpoint(config: Config, rng=None):
+    """Restore (model, state, occupancy, step) from config.exp_dir.
+
+    The single restore entry point for eval/render/viewer CLIs — builds the
+    template (including the NGP occupancy grid when applicable) and loads
+    the latest bundle saved by the training loop.
+    """
+    import os
+
+    from outdoor_nerf_depth_tpu.models.ngp import HashGridModel
+    from outdoor_nerf_depth_tpu.ops import occupancy as occ_lib
+    from outdoor_nerf_depth_tpu.train import checkpoints as ckpt_lib
+
+    if rng is None:
+        rng = jax.random.PRNGKey(config.seed)
+    model, state = init_state(config, rng)
+    occupancy = (
+        occ_lib.init_grid(model.scale, model.grid_resolution)
+        if isinstance(model, HashGridModel)
+        else None
+    )
+    ckpt = ckpt_lib.CheckpointManager(
+        os.path.join(config.exp_dir, "checkpoints"), keep=config.keep_checkpoints
+    )
+    restored, step = ckpt.restore({"state": state, "occupancy": occupancy})
+    ckpt.close()
+    return model, restored["state"], restored["occupancy"], step
+
+
 def make_occupancy_update_fn(config: Config, model, mesh):
     """Compile the NGP occupancy-grid refresh; None for gridless models.
 

@@ -14,13 +14,11 @@ import sys
 
 
 def main(argv):
-    import jax
     import numpy as np
 
     from outdoor_nerf_depth_tpu import parallel
     from outdoor_nerf_depth_tpu.data import cameras as cameras_lib
     from outdoor_nerf_depth_tpu.data import rays as rays_lib
-    from outdoor_nerf_depth_tpu.train import checkpoints as ckpt_lib
     from outdoor_nerf_depth_tpu.train import step as step_lib
     from outdoor_nerf_depth_tpu.train.config import load_config
     from outdoor_nerf_depth_tpu.train.loop import build_dataset
@@ -45,11 +43,7 @@ def main(argv):
     if hasattr(dataset, "scene_scale"):
         config = config.replace(depth_scale=float(dataset.scene_scale))
     mesh = parallel.make_mesh()
-    model, state = step_lib.init_state(config, jax.random.PRNGKey(config.seed))
-    ckpt = ckpt_lib.CheckpointManager(
-        os.path.join(config.exp_dir, "checkpoints"), keep=config.keep_checkpoints
-    )
-    state, step = ckpt.restore(state)
+    model, state, occupancy, step = step_lib.load_checkpoint(config)
     print(f"restored step {step}")
     render_chunk = step_lib.make_render_fn(config, model, mesh)
 
@@ -82,7 +76,8 @@ def main(argv):
         )
         batch = rays_lib.Batch(rays=rays)
         rendering = step_lib.render_image(
-            render_chunk, state.params, batch, mesh, config.render_chunk_size
+            render_chunk, state.params, batch, mesh, config.render_chunk_size,
+            aux=occupancy,
         )
         rgb = np.asarray(rendering["rgb"])
         depth = np.asarray(rendering["distance_mean"]) / config.depth_scale

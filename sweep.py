@@ -51,8 +51,8 @@ def main(argv):
         print(f"=== sweep point {name} -> {config.exp_dir}")
         if dry:
             continue
-        state, _ = train(config)
-        mean, _ = evaluate(config, state)
+        state, _, occupancy = train(config)
+        mean, _ = evaluate(config, state, occupancy=occupancy)
         results[name] = mean
         with open(os.path.join(base.exp_dir, "sweep_summary.json"), "w") as f:
             json.dump(results, f, indent=2)

@@ -24,9 +24,9 @@ def main(argv):
         else:
             overrides.append(arg)
     config = load_config(path, overrides)
-    state, _ = train(config)
+    state, _, occupancy = train(config)
     if run_eval:
-        evaluate(config, state)
+        evaluate(config, state, occupancy=occupancy)
 
 
 if __name__ == "__main__":

@@ -53,7 +53,8 @@ class OrbitCamera:
         return cameras_lib.view_matrix(-look, np.array([0.0, 0.0, 1.0]), pos)
 
 
-def _render(config, dataset, render_chunk, params, mesh, cam, height, width):
+def _render(config, dataset, render_chunk, params, mesh, cam, height, width,
+            occupancy=None):
     import jax.numpy as jnp
 
     from outdoor_nerf_depth_tpu.data import cameras as cameras_lib
@@ -80,7 +81,7 @@ def _render(config, dataset, render_chunk, params, mesh, cam, height, width):
     )
     rendering = step_lib.render_image(
         render_chunk, params, rays_lib.Batch(rays=rays), mesh,
-        config.render_chunk_size,
+        config.render_chunk_size, aux=occupancy,
     )
     rgb = np.asarray(rendering["rgb"])
     depth = np.asarray(rendering["distance_mean"]) / config.depth_scale
@@ -88,10 +89,7 @@ def _render(config, dataset, render_chunk, params, mesh, cam, height, width):
 
 
 def main(argv):
-    import jax
-
     from outdoor_nerf_depth_tpu import parallel
-    from outdoor_nerf_depth_tpu.train import checkpoints as ckpt_lib
     from outdoor_nerf_depth_tpu.train import step as step_lib
     from outdoor_nerf_depth_tpu.train.config import load_config
     from outdoor_nerf_depth_tpu.train.loop import build_dataset
@@ -113,11 +111,7 @@ def main(argv):
     if hasattr(dataset, "scene_scale"):
         config = config.replace(depth_scale=float(dataset.scene_scale))
     mesh = parallel.make_mesh()
-    model, state = step_lib.init_state(config, jax.random.PRNGKey(config.seed))
-    ckpt = ckpt_lib.CheckpointManager(
-        os.path.join(config.exp_dir, "checkpoints"), keep=config.keep_checkpoints
-    )
-    state, step = ckpt.restore(state)
+    model, state, occupancy, step = step_lib.load_checkpoint(config)
     print(f"restored step {step}")
     render_chunk = step_lib.make_render_fn(config, model, mesh)
 
@@ -132,7 +126,7 @@ def main(argv):
     fig, ax = plt.subplots(figsize=(9, 4))
     im = ax.imshow(
         _render(config, dataset, render_chunk, state.params, mesh, cam,
-                height, width)
+                height, width, occupancy)
     )
     ax.set_axis_off()
     drag = {"xy": None}
@@ -140,7 +134,7 @@ def main(argv):
     def refresh():
         im.set_data(
             _render(config, dataset, render_chunk, state.params, mesh, cam,
-                    height, width)
+                    height, width, occupancy)
         )
         fig.canvas.draw_idle()
 
