@@ -141,12 +141,19 @@ class RayDataset:
     # -- batch construction ------------------------------------------------
 
     def _gather(self, cam_idx, py, px) -> rays_lib.Batch:
+        # Per-ray near bound: NeRF++ min_depth maps override the scene
+        # constant (`nerf_sample_ray_split.py:199-221` ships min_depth with
+        # every ray batch; the model samples fg from it).
+        if self.min_depth is not None:
+            near = self.min_depth[cam_idx, py, px][..., None].astype(np.float32)
+        else:
+            near = np.full(px.shape + (1,), self.near, np.float32)
         pixels = rays_lib.Pixels(
             pix_x=px.astype(np.float32),
             pix_y=py.astype(np.float32),
             cam_idx=cam_idx[..., None].astype(np.int32),
             lossmult=np.ones(px.shape + (1,), np.float32),
-            near=np.full(px.shape + (1,), self.near, np.float32),
+            near=near,
             far=np.full(px.shape + (1,), self.far, np.float32),
         )
         rays = (
@@ -467,4 +474,300 @@ class NerfppSceneDataset(RayDataset):
                 ]
             ).astype(np.float32)
         self.near, self.far = 1e-4, 2.0  # Unit-sphere scene: fg far ~ sphere exit.
+        self._finalize()
+
+
+class TanksAndTemplesDataset(NerfppSceneDataset):
+    """Tanks & Temples as processed by NeRF++ — same per-image txt layout.
+
+    The reference's `TanksAndTemplesNerfPP` loader
+    (`mipnerf360/internal/datasets.py:788-835`) reads the identical
+    `{split}/{intrinsics,pose,rgb}` directories (with split `camera_path`
+    for render trajectories); cameras are unit-sphere normalized upstream,
+    so `NerfppSceneDataset`'s bounds apply unchanged.
+    """
+
+
+class TanksAndTemplesFVSDataset(RayDataset):
+    """Tanks & Temples as processed by Free View Synthesis.
+
+    Layout (reference `mipnerf360/internal/datasets.py:838-898`):
+    scene_dir/dense/ibr3d_*/{im_*.png|jpg, Ks.npy, Rs.npy, ts.npy}. The
+    ibr3d_* dirs are resolution pyramid levels (sorted descending);
+    `factor` indexes into it. Poses are COLMAP world-to-cam (Ks/Rs/ts),
+    inverted, flipped to OpenGL, PCA-normalized. Split: every `llffhold`-th
+    image is test.
+    """
+
+    def __init__(
+        self,
+        scene_dir: str,
+        split: str,
+        global_batch_size: int,
+        factor: int = 0,
+        llffhold: int = 8,
+        near: float = 0.01,
+        far: float = 10.0,
+        cast_on_device: bool = True,
+    ):
+        super().__init__(split, global_batch_size, cast_on_device)
+        basedir = os.path.join(scene_dir, "dense")
+        sizes = sorted(
+            f for f in os.listdir(basedir) if f.startswith("ibr3d")
+        )[::-1]
+        if factor >= len(sizes):
+            raise ValueError(f"factor {factor} >= {len(sizes)} pyramid levels")
+        basedir = os.path.join(basedir, sizes[factor])
+
+        files = sorted(f for f in os.listdir(basedir) if f.startswith("im_"))
+        images = np.stack(
+            [load_image(os.path.join(basedir, f)) for f in files]
+        )
+        Ks = np.load(os.path.join(basedir, "Ks.npy"))
+        Rs = np.load(os.path.join(basedir, "Rs.npy"))
+        ts = np.load(os.path.join(basedir, "ts.npy"))
+
+        # world-to-cam -> cam-to-world, then OpenCV -> OpenGL columns.
+        w2c = np.concatenate([Rs, ts[..., None]], axis=-1)
+        bottom = np.tile(np.array([[[0.0, 0, 0, 1]]]), (len(w2c), 1, 1))
+        c2w = np.linalg.inv(np.concatenate([w2c, bottom], axis=1))[:, :3, :4]
+        c2w = c2w @ np.diag([1.0, -1.0, -1.0, 1.0])
+        poses, transform = cameras_lib.normalize_poses_pca(c2w)
+        self.scene_scale = cameras_lib.pose_scale(transform)
+
+        idx = np.arange(len(files))
+        idx = idx[idx % llffhold == 0] if split == "test" else idx[idx % llffhold != 0]
+        self.images = (images[idx] / 255.0).astype(np.float32)
+        self.camtoworlds = poses[idx].astype(np.float32)
+        self.pixtocams = np.linalg.inv(Ks[idx].astype(np.float32))
+        self.near, self.far = near * self.scene_scale, far * self.scene_scale
+        self._finalize()
+
+
+def decompose_projection(P: np.ndarray):
+    """Split a 3x4 projection into (K, R, camera_center) via RQ.
+
+    cv2-free equivalent of the decomposition the reference's DTU loader
+    uses (`mipnerf360/internal/datasets.py:936-943`). K is normalized to
+    K[2,2]=1 with positive diagonal; R is world-to-cam.
+    """
+    import scipy.linalg
+
+    M = P[:, :3]
+    K, R = scipy.linalg.rq(M)
+    # Force positive diagonal on K (RQ is unique only up to signs).
+    signs = np.sign(np.diag(K))
+    signs[signs == 0] = 1.0
+    K = K * signs[None, :]
+    R = R * signs[:, None]
+    if np.linalg.det(R) < 0:
+        K, R = -K, -R
+    t = np.linalg.solve(K, P[:, 3])
+    center = -R.T @ t
+    return K / K[2, 2], R, center
+
+
+class DTUDataset(RayDataset):
+    """DTU MVS scans (reference `mipnerf360/internal/datasets.py:900-979`).
+
+    scan dir holds `rect_{i:03d}_{light}.png` (light = `{cond}_r5000/7000`
+    or `max`); projection matrices in `../../cal18/pos_{i:03d}.txt` (or a
+    local `cal18/`). Poses are recentered, rescaled by the max |xyz|, and
+    flipped to OpenGL. Split: every `dtuhold`-th image is test.
+    """
+
+    def __init__(
+        self,
+        scene_dir: str,
+        split: str,
+        global_batch_size: int,
+        light_cond: int = 7,
+        dtuhold: int = 8,
+        near: float = 0.1,
+        far: float = 5.0,
+        cast_on_device: bool = True,
+    ):
+        super().__init__(split, global_batch_size, cast_on_device)
+        n_images = len(
+            [f for f in os.listdir(scene_dir) if f.startswith("rect_")]
+        ) // 8 if light_cond < 7 else len(
+            [f for f in os.listdir(scene_dir) if f.endswith("_max.png")]
+        )
+        cal_dir = os.path.join(scene_dir, "../../cal18")
+        if not os.path.isdir(cal_dir):
+            cal_dir = os.path.join(scene_dir, "cal18")
+
+        images, pixtocams, camtoworlds = [], [], []
+        for i in range(1, n_images + 1):
+            if light_cond < 7:
+                light = f"{light_cond}_r" + ("5000" if i < 50 else "7000")
+            else:
+                light = "max"
+            images.append(
+                load_image(os.path.join(scene_dir, f"rect_{i:03d}_{light}.png"))
+                / 255.0
+            )
+            P = np.loadtxt(os.path.join(cal_dir, f"pos_{i:03d}.txt")).reshape(3, 4)
+            K, R, center = decompose_projection(P)
+            pose = np.concatenate([R.T, center[:, None]], axis=1)
+            camtoworlds.append(pose)
+            pixtocams.append(np.linalg.inv(K))
+
+        camtoworlds = np.stack(camtoworlds)
+        camtoworlds, _ = cameras_lib.recenter_poses(camtoworlds)
+        camtoworlds[:, :3, 3] /= np.max(np.abs(camtoworlds[:, :3, 3]))
+        camtoworlds = camtoworlds @ np.diag([1.0, -1.0, -1.0, 1.0])
+
+        idx = np.arange(n_images)
+        idx = idx[idx % dtuhold == 0] if split == "test" else idx[idx % dtuhold != 0]
+        self.images = np.stack(images)[idx].astype(np.float32)
+        self.camtoworlds = camtoworlds[idx].astype(np.float32)
+        self.pixtocams = np.stack(pixtocams)[idx].astype(np.float32)
+        self.near, self.far = near, far
+        self._finalize()
+
+
+class NSVFDataset(RayDataset):
+    """NSVF-format scenes (reference `ngp-depth/datasets/nsvf.py`).
+
+    scene_dir/{intrinsics.txt, bbox.txt, rgb/<p>_*.png, pose/<p>_*.txt}
+    where the filename prefix encodes the split (0_=train, 1_=val/test,
+    2_=synthetic test). Poses are c2w in OpenCV axes; camera centers are
+    shifted/scaled so the bbox fits in [-0.5, 0.5]^3 (the NGP AABB).
+    """
+
+    _PREFIX = {"train": "0_", "val": "1_", "test": "1_", "test_synthetic": "2_"}
+
+    def __init__(
+        self,
+        scene_dir: str,
+        split: str,
+        global_batch_size: int,
+        near: float = 0.01,
+        far: float = 4.0,
+        white_background: bool = True,
+        cast_on_device: bool = True,
+    ):
+        super().__init__(split, global_batch_size, cast_on_device)
+        K_raw = np.loadtxt(os.path.join(scene_dir, "intrinsics.txt"))
+        bbox = np.loadtxt(os.path.join(scene_dir, "bbox.txt")).reshape(-1)[:6]
+        xyz_min, xyz_max = bbox[:3], bbox[3:6]
+        self.shift = (xyz_max + xyz_min) / 2
+        self.scale = float((xyz_max - xyz_min).max() / 2 * 1.05)
+
+        prefix = self._PREFIX.get(split)
+        if prefix is None:
+            raise ValueError(f"unknown NSVF split {split!r}")
+        rgb_dir = os.path.join(scene_dir, "rgb")
+        files = sorted(f for f in os.listdir(rgb_dir) if f.startswith(prefix))
+        pose_dir = os.path.join(scene_dir, "pose")
+        pose_files = sorted(
+            f for f in os.listdir(pose_dir) if f.startswith(prefix)
+        )
+        if not files:
+            # Synthetic scenes name their test split with prefix 2_.
+            files = sorted(f for f in os.listdir(rgb_dir) if f.startswith("2_"))
+            pose_files = sorted(
+                f for f in os.listdir(pose_dir) if f.startswith("2_")
+            )
+
+        images, poses = [], []
+        flip = np.diag([1.0, -1.0, -1.0])
+        for rgb_f, pose_f in zip(files, pose_files):
+            img = load_image(os.path.join(rgb_dir, rgb_f)) / 255.0
+            if img.ndim == 3 and img.shape[-1] == 4:
+                a = img[..., 3:]
+                img = img[..., :3] * a + (1.0 - a) * (
+                    1.0 if white_background else 0.0
+                )
+            images.append(img.astype(np.float32))
+            c2w = np.loadtxt(os.path.join(pose_dir, pose_f)).reshape(4, 4)[:3]
+            c2w = c2w.copy()
+            c2w[:, 3] = (c2w[:, 3] - self.shift) / (2 * self.scale)
+            poses.append(np.concatenate([c2w[:, :3] @ flip, c2w[:, 3:4]], -1))
+        self.images = np.stack(images)
+        self.camtoworlds = np.stack(poses).astype(np.float32)
+
+        h, w = self.images.shape[1:3]
+        if K_raw.ndim == 0 or K_raw.size == 1:
+            K = np.array(
+                [[float(K_raw), 0, w / 2], [0, float(K_raw), h / 2], [0, 0, 1]]
+            )
+        else:
+            K = K_raw.reshape(-1)[:9].reshape(3, 3)
+        self.pixtocams = np.linalg.inv(K).astype(np.float32)
+        self.near, self.far = near, far
+        self._finalize()
+
+
+class RTMVDataset(RayDataset):
+    """RTMV synthetic scenes (reference `ngp-depth/datasets/rtmv.py`).
+
+    scene_dir/{NNNNN.json, images/NNNNN.*}: per-frame json carries
+    intrinsics + `cam2world` (column-major) + the scene 3D box. Splits are
+    index ranges: train 0-100, test 105-150 (trainval 0-105).
+    """
+
+    _RANGES = {"train": (0, 100), "trainval": (0, 105), "test": (105, 150),
+               "all": (0, None)}
+
+    def __init__(
+        self,
+        scene_dir: str,
+        split: str,
+        global_batch_size: int,
+        near: float = 0.01,
+        far: float = 4.0,
+        normalize_box: bool = True,
+        cast_on_device: bool = True,
+    ):
+        import json
+
+        super().__init__(split, global_batch_size, cast_on_device)
+        jsons = sorted(
+            f for f in os.listdir(scene_dir) if f.endswith(".json")
+        )
+        img_dir = os.path.join(scene_dir, "images")
+        img_files = sorted(os.listdir(img_dir))
+        lo, hi = self._RANGES.get(split, (0, None))
+        jsons, img_files = jsons[lo:hi], img_files[lo:hi]
+
+        with open(os.path.join(scene_dir, jsons[0])) as f:
+            meta = json.load(f)["camera_data"]
+        self.shift = np.asarray(meta["scene_center_3d_box"], np.float64)
+        self.scale = float(
+            (
+                np.asarray(meta["scene_max_3d_box"])
+                - np.asarray(meta["scene_min_3d_box"])
+            ).max()
+            / 2
+            * 1.05
+        )
+        intr = meta["intrinsics"]
+        K = np.array(
+            [
+                [intr["fx"], 0, intr["cx"]],
+                [0, intr["fy"], intr["cy"]],
+                [0, 0, 1],
+            ]
+        )
+        self.pixtocams = np.linalg.inv(K).astype(np.float32)
+
+        images, poses = [], []
+        for jf, imf in zip(jsons, img_files):
+            with open(os.path.join(scene_dir, jf)) as f:
+                cam = json.load(f)["camera_data"]
+            c2w = np.asarray(cam["cam2world"]).T[:3].copy()
+            c2w[:, 1:3] *= -1  # OpenCV -> OpenGL.
+            if normalize_box:
+                c2w[:, 3] = (c2w[:, 3] - self.shift) / (2 * self.scale)
+            poses.append(c2w)
+            img = load_image(os.path.join(img_dir, imf)) / 255.0
+            if img.ndim == 3 and img.shape[-1] == 4:
+                a = img[..., 3:]
+                img = img[..., :3] * a + (1.0 - a)
+            images.append(img.astype(np.float32))
+        self.images = np.stack(images)
+        self.camtoworlds = np.stack(poses).astype(np.float32)
+        self.near, self.far = near, far
         self._finalize()

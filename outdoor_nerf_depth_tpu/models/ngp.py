@@ -37,6 +37,11 @@ class HashGridField(nn.Module):
     geo_features: int = 15
     hidden_width: int = 64
     rgb_hidden_layers: int = 2
+    # "sigmoid" -> LDR rgb directly; "none" -> the rgb net emits
+    # log-radiance and per-channel tonemapper nets (HDR-NeRF style,
+    # reference `networks.py:79-92`, `:109-130`) map it + log-exposure to LDR.
+    rgb_activation: str = "sigmoid"
+    tonemap_width: int = 64
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -64,6 +69,11 @@ class HashGridField(nn.Module):
             for i in range(self.rgb_hidden_layers)
         ]
         self.rgb_out = dense(3, "rgb_out")
+        if self.rgb_activation == "none":
+            self.tonemap_hidden = [
+                dense(self.tonemap_width, f"tonemap_hidden{i}") for i in range(3)
+            ]
+            self.tonemap_out = [dense(1, f"tonemap_out{i}") for i in range(3)]
 
     def _normalize(self, x):
         # World cube [-e_max, e_max]^3 -> unit cube for the hash encoder,
@@ -79,7 +89,19 @@ class HashGridField(nn.Module):
         sigma = hashgrid.truncated_exp(h[..., 0])
         return sigma, h[..., 1:]
 
-    def __call__(self, x, viewdirs):
+    def tonemap(self, log_radiance, exposure=None):
+        """Per-channel learned tonemapping of log-radiance (+log-exposure)."""
+        log_expo = 0.0 if exposure is None else jnp.log(exposure)
+        chans = []
+        for i in range(3):
+            inp = (log_radiance[..., i : i + 1] + log_expo).astype(
+                self.compute_dtype
+            )
+            h = nn.relu(self.tonemap_hidden[i](inp))
+            chans.append(nn.sigmoid(self.tonemap_out[i](h).astype(jnp.float32)))
+        return jnp.concatenate(chans, axis=-1)
+
+    def __call__(self, x, viewdirs, exposure=None, output_radiance=False):
         """x [..., 3] world points; viewdirs [..., 3] unit. -> (sigma, rgb)."""
         sigma, feats = self.density(x)
         sh = hashgrid.spherical_harmonics(viewdirs)
@@ -87,7 +109,13 @@ class HashGridField(nn.Module):
         y = jnp.concatenate([sh, feats], axis=-1).astype(self.compute_dtype)
         for layer in self.rgb_layers:
             y = nn.relu(layer(y))
-        rgb = nn.sigmoid(self.rgb_out(y).astype(jnp.float32))
+        out = self.rgb_out(y).astype(jnp.float32)
+        if self.rgb_activation == "sigmoid":
+            rgb = nn.sigmoid(out)
+        elif output_radiance:  # HDR map: radiance itself.
+            rgb = hashgrid.truncated_exp(out)
+        else:  # LDR via the learned tonemappers.
+            rgb = self.tonemap(out, exposure)
         return sigma, rgb
 
 
@@ -102,6 +130,9 @@ class HashGridModel(nn.Module):
     near_distance: float = 0.01
     density_threshold: float = 0.01
     bg_intensity_range: Tuple[float, float] = (0.0, 0.0)
+    # With an HDR field (rgb_activation="none"), render the radiance map
+    # itself instead of the tonemapped LDR (reference `output_radiance`).
+    output_radiance: bool = False
     field_params: Any = None
     compute_dtype: Any = jnp.float32
 
@@ -158,7 +189,15 @@ class HashGridModel(nn.Module):
             rays.origins[..., None, :]
             + t_mid[..., None] * rays.viewdirs[..., None, :]
         )
-        sigma, rgb = self.field(pts, rays.viewdirs[..., None, :])
+        exposure = getattr(rays, "exposure_values", None)
+        if exposure is not None:
+            exposure = exposure[..., None, :]  # broadcast over samples
+        sigma, rgb = self.field(
+            pts,
+            rays.viewdirs[..., None, :],
+            exposure=exposure,
+            output_radiance=self.output_radiance,
+        )
         sigma = jnp.where(valid, sigma, 0.0)
 
         tau = sigma * dt

@@ -48,7 +48,7 @@ class Config:
     charb_padding: float = 0.001
     data_loss_mult: float = 1.0
     data_coarse_loss_mult: float = 0.0
-    depth_loss_type: str = "mse"  # mse | l1 | kl | urf
+    depth_loss_type: str = "mse"  # mse | l1 | kl | urf | nll
     lambda_depth: float = 0.0  # 0 disables depth supervision (rgbonly)
     depth_sigma: float = 1.0  # kl/urf uncertainty, in metres (pre-scale)
     depth_loss_reduce: str = "mean_all"  # mean_all (mip) | mean_valid (nerf++)

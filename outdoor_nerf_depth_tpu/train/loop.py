@@ -50,13 +50,62 @@ def build_dataset(config: Config, split: str):
             cast_on_device=config.cast_rays_in_train_step,
         )
         return ds
-    if config.dataset == "nerfpp":
-        return datasets_lib.NerfppSceneDataset(
+    if config.dataset in ("nerfpp", "tnt"):
+        cls = (
+            datasets_lib.TanksAndTemplesDataset
+            if config.dataset == "tnt"
+            else datasets_lib.NerfppSceneDataset
+        )
+        return cls(
             config.scene_dir,
             split,
             global_batch_size=config.batch_size,
             skip=config.sample_every if split == "train" else 1,
             depth_sup_type=config.depth_sup_type,
+            cast_on_device=config.cast_rays_in_train_step,
+        )
+    if config.dataset == "blender":
+        return datasets_lib.BlenderDataset(
+            config.scene_dir,
+            split,
+            global_batch_size=config.batch_size,
+            near=config.near,
+            far=config.far,
+            cast_on_device=config.cast_rays_in_train_step,
+        )
+    if config.dataset == "tnt_fvs":
+        return datasets_lib.TanksAndTemplesFVSDataset(
+            config.scene_dir,
+            split,
+            global_batch_size=config.batch_size,
+            factor=config.factor,
+            cast_on_device=config.cast_rays_in_train_step,
+        )
+    if config.dataset == "dtu":
+        return datasets_lib.DTUDataset(
+            config.scene_dir,
+            split,
+            global_batch_size=config.batch_size,
+            near=config.near,
+            far=config.far,
+            cast_on_device=config.cast_rays_in_train_step,
+        )
+    if config.dataset == "nsvf":
+        return datasets_lib.NSVFDataset(
+            config.scene_dir,
+            split,
+            global_batch_size=config.batch_size,
+            near=config.near,
+            far=config.far,
+            cast_on_device=config.cast_rays_in_train_step,
+        )
+    if config.dataset == "rtmv":
+        return datasets_lib.RTMVDataset(
+            config.scene_dir,
+            split,
+            global_batch_size=config.batch_size,
+            near=config.near,
+            far=config.far,
             cast_on_device=config.cast_rays_in_train_step,
         )
     raise ValueError(f"unknown dataset {config.dataset!r}")

@@ -105,6 +105,44 @@ def ds_nerf_kl_loss(
     return jnp.mean(per_ray * mask)
 
 
+def gaussian_nll_depth_loss(
+    depth_pred,
+    steps,
+    weights,
+    depth_sup,
+    depth_sup_std,
+    eps: float = 1e-3,
+):
+    """Gaussian NLL depth loss (reference `depth_loss.py:49-75`).
+
+    The render's termination distribution is summarized as a Gaussian
+    (mean = expected depth, var = weight-weighted second moment about it)
+    and penalized by NLL against the measured (mean, std) — but only on
+    rays where the prediction falls *outside* the measurement distribution
+    (|Δmean| > std, or predicted variance exceeds measured variance).
+    Masked-sum form (no boolean indexing) so it jits with static shapes;
+    the reference's `n_applied/N · mean_over_applied` scaling is exactly
+    `sum_over_applied / N`.
+
+    Args:
+      depth_pred: [...] expected termination depth.
+      steps: [..., S] sample positions along the ray.
+      weights: [..., S] compositing weights.
+      depth_sup: [...] measured depth mean (<=0 invalid).
+      depth_sup_std: [...] or scalar measured depth std.
+    """
+    valid = depth_sup > 0
+    pred_var = (
+        jnp.sum((steps - depth_pred[..., None]) ** 2 * weights, axis=-1) + 1e-5
+    )
+    std = jnp.broadcast_to(jnp.asarray(depth_sup_std), depth_sup.shape)
+    outside = (jnp.abs(depth_pred - depth_sup) - std > 0.0) | (std**2 < pred_var)
+    apply = valid & outside
+    var = jnp.maximum(pred_var, eps)
+    nll = 0.5 * (jnp.log(var) + (depth_pred - depth_sup) ** 2 / var)
+    return jnp.sum(apply * nll) / depth_sup.size
+
+
 def urban_rf_depth_loss(weights, depth_sup, depth_pred, steps, sigma):
     """Urban Radiance Fields LiDAR loss: L2 + near/empty line-of-sight terms."""
     mask = (depth_sup > 0).astype(weights.dtype)
@@ -159,6 +197,12 @@ def depth_loss_from_history(
         return ds_nerf_kl_loss(weights, depth_sup, steps, lengths, sigma, fg_far)
     if kind == "urf":
         return urban_rf_depth_loss(weights, depth_sup, depth_pred, steps, sigma)
+    if kind == "nll":
+        # Measurement std defaults to the scene-scaled sigma knob (the
+        # reference reads a per-ray std channel; priors here ship mean only).
+        return gaussian_nll_depth_loss(
+            depth_pred, steps, weights, depth_sup, jnp.sqrt(sigma)
+        )
     raise ValueError(f"unknown depth loss {kind!r}")
 
 

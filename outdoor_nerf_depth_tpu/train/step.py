@@ -233,6 +233,7 @@ def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspect
             "mse",
             "l1",
             "urf",
+            "nll",
         )
 
         def loss_fn(params):

@@ -234,6 +234,215 @@ class TestSyntheticDataset:
         assert len({b.rgb.tobytes() for b in batches}) > 1  # actually random
 
 
+def _write_nerfpp_scene(root, n_images=3, h=8, w=10, max_depth=50.0):
+    """Tiny on-disk NeRF++-layout scene (per-image txt + PNG dirs)."""
+    from PIL import Image as PILImage
+
+    rng = np.random.default_rng(11)
+    split_dir = os.path.join(root, "train")
+    for sub in ("intrinsics", "pose", "rgb", "depth", "min_depth"):
+        os.makedirs(os.path.join(split_dir, sub))
+    K = np.eye(4)
+    K[0, 0] = K[1, 1] = 12.0
+    K[0, 2], K[1, 2] = w / 2, h / 2
+    min_depth_maps = []
+    for i in range(n_images):
+        name = f"{i:05d}"
+        np.savetxt(os.path.join(split_dir, "intrinsics", name + ".txt"),
+                   K.reshape(1, 16))
+        pose = np.eye(4)
+        pose[:3, 3] = rng.normal(size=3) * 0.1
+        np.savetxt(os.path.join(split_dir, "pose", name + ".txt"),
+                   pose.reshape(1, 16))
+        rgb = (rng.uniform(size=(h, w, 3)) * 255).astype(np.uint8)
+        PILImage.fromarray(rgb).save(os.path.join(split_dir, "rgb", name + ".png"))
+        depth = (rng.uniform(2, 40, (h, w)) * 256).astype(np.uint16)
+        PILImage.fromarray(depth).save(
+            os.path.join(split_dir, "depth", name + ".png"))
+        md = (rng.uniform(0.1, 0.9, (h, w)) * 255).astype(np.uint8)
+        min_depth_maps.append(md)
+        PILImage.fromarray(md).save(
+            os.path.join(split_dir, "min_depth", name + ".png"))
+    with open(os.path.join(split_dir, "max_depth.txt"), "w") as f:
+        f.write(str(max_depth))
+    with open(os.path.join(root, "scale"), "w") as f:
+        f.write("0.02")
+    return np.stack(min_depth_maps)
+
+
+class TestNerfppSceneDataset:
+    def test_loads_scene_and_scales_depth(self, tmp_path):
+        _write_nerfpp_scene(str(tmp_path))
+        ds = datasets.NerfppSceneDataset(str(tmp_path), "train", 16)
+        assert ds.images.shape == (3, 8, 10, 3)
+        assert ds.scene_scale == pytest.approx(0.02)
+        valid = ds.depth_gt[ds.depth_gt > 0]
+        # uint16/256 in [2, 40] m, x scale 0.02.
+        assert valid.min() >= 2.0 * 0.02 - 1e-3
+        assert valid.max() <= 40.0 * 0.02 + 1e-3
+
+    def test_min_depth_becomes_per_ray_near(self, tmp_path):
+        md = _write_nerfpp_scene(str(tmp_path), max_depth=50.0)
+        ds = datasets.NerfppSceneDataset(str(tmp_path), "train", 16)
+        batch = ds.sample_batch()
+        px = np.asarray(batch.rays.pix_x).astype(np.int64)
+        py = np.asarray(batch.rays.pix_y).astype(np.int64)
+        ci = np.asarray(batch.rays.cam_idx)[..., 0]
+        want = md[ci, py, px] / 255.0 * 50.0 + 1e-4
+        np.testing.assert_allclose(np.asarray(batch.rays.near)[..., 0], want,
+                                   rtol=1e-5)
+        # And it survives ray casting into Rays.near.
+        cast = cameras.cast_pixels(batch.rays, ds.cameras, ds.camtype)
+        np.testing.assert_allclose(np.asarray(cast.near)[..., 0], want, rtol=1e-5)
+
+    def test_near_constant_without_min_depth(self):
+        ds = datasets.SyntheticDataset("train", global_batch_size=8)
+        batch = ds.sample_batch()
+        np.testing.assert_allclose(np.asarray(batch.rays.near), ds.near)
+
+
+def _save_png(arr, path):
+    from PIL import Image as PILImage
+
+    PILImage.fromarray(arr).save(path)
+
+
+def _rand_rotation(rng):
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+class TestDecomposeProjection:
+    def test_round_trip(self):
+        rng = np.random.default_rng(21)
+        for _ in range(10):
+            K = np.array([[40.0, 0.5, 16.0], [0, 42.0, 12.0], [0, 0, 1.0]])
+            R = _rand_rotation(rng)
+            t = rng.normal(size=3)
+            P = K @ np.concatenate([R, t[:, None]], axis=1)
+            K2, R2, center2 = datasets.decompose_projection(P * 3.7)
+            np.testing.assert_allclose(K2, K, atol=1e-8)
+            np.testing.assert_allclose(R2, R, atol=1e-8)
+            np.testing.assert_allclose(center2, -R.T @ t, atol=1e-8)
+
+
+class TestTanksAndTemplesFVS:
+    def test_loads_pyramid_level_and_splits(self, tmp_path):
+        rng = np.random.default_rng(22)
+        base = os.path.join(str(tmp_path), "dense", "ibr3d_pw_0.25")
+        os.makedirs(base)
+        n = 10
+        for i in range(n):
+            img = (rng.uniform(size=(6, 8, 3)) * 255).astype(np.uint8)
+            _save_png(img, os.path.join(base, f"im_{i:08d}.png"))
+        Ks = np.tile(np.array([[7.0, 0, 4.0], [0, 7.0, 3.0], [0, 0, 1]]), (n, 1, 1))
+        Rs = np.stack([_rand_rotation(rng) for _ in range(n)])
+        ts = rng.normal(size=(n, 3))
+        for name, arr in (("Ks", Ks), ("Rs", Rs), ("ts", ts)):
+            np.save(os.path.join(base, f"{name}.npy"), arr)
+        train = datasets.TanksAndTemplesFVSDataset(str(tmp_path), "train", 16)
+        test = datasets.TanksAndTemplesFVSDataset(str(tmp_path), "test", 16)
+        assert train.n_images == 8 and test.n_images == 2  # llffhold=8 on 10
+        assert train.images.shape == (8, 6, 8, 3)
+        # Poses normalized into the unit cube.
+        assert np.abs(train.camtoworlds[:, :3, 3]).max() <= 1.0 + 1e-5
+        batch = train.sample_batch()
+        assert batch.rgb.shape == (16, 3)
+
+
+class TestDTUDataset:
+    def test_loads_and_decomposes(self, tmp_path):
+        rng = np.random.default_rng(23)
+        scan = os.path.join(str(tmp_path), "scan1")
+        cal = os.path.join(scan, "cal18")
+        os.makedirs(cal)
+        n = 9
+        K = np.array([[30.0, 0, 8.0], [0, 30.0, 6.0], [0, 0, 1.0]])
+        for i in range(1, n + 1):
+            img = (rng.uniform(size=(12, 16, 3)) * 255).astype(np.uint8)
+            _save_png(img, os.path.join(scan, f"rect_{i:03d}_max.png"))
+            R = _rand_rotation(rng)
+            t = rng.normal(size=3)
+            P = K @ np.concatenate([R, t[:, None]], axis=1)
+            np.savetxt(os.path.join(cal, f"pos_{i:03d}.txt"), P)
+        train = datasets.DTUDataset(scan, "train", 8)
+        test = datasets.DTUDataset(scan, "test", 8)
+        assert train.n_images + test.n_images == n
+        assert test.n_images == 2  # idx 0, 8 of 9
+        assert np.abs(train.camtoworlds[:, :3, 3]).max() <= 1.0 + 1e-5
+        batch = train.sample_batch()
+        assert batch.rgb.shape == (8, 3)
+
+
+class TestNSVFDataset:
+    def test_loads_and_normalizes_bbox(self, tmp_path):
+        rng = np.random.default_rng(24)
+        d = str(tmp_path)
+        os.makedirs(os.path.join(d, "rgb"))
+        os.makedirs(os.path.join(d, "pose"))
+        np.savetxt(os.path.join(d, "intrinsics.txt"),
+                   np.array([[20.0, 0, 8.0], [0, 20.0, 6.0], [0, 0, 1.0]]))
+        np.savetxt(os.path.join(d, "bbox.txt"),
+                   np.array([[-2.0, -2, -2, 2, 2, 2, 0.1]]))
+        for split_prefix, count in (("0_", 4), ("1_", 2)):
+            for i in range(count):
+                img = (rng.uniform(size=(12, 16, 4)) * 255).astype(np.uint8)
+                _save_png(img, os.path.join(d, "rgb", f"{split_prefix}{i:04d}.png"))
+                pose = np.eye(4)
+                pose[:3, 3] = rng.normal(size=3)
+                np.savetxt(os.path.join(d, "pose", f"{split_prefix}{i:04d}.txt"), pose)
+        train = datasets.NSVFDataset(d, "train", 8)
+        test = datasets.NSVFDataset(d, "test", 8)
+        assert train.n_images == 4 and test.n_images == 2
+        assert train.images.shape == (4, 12, 16, 3)  # RGBA composited
+        assert train.scale == pytest.approx(2.0 * 1.05)
+        batch = train.sample_batch()
+        assert batch.rgb.shape == (8, 3)
+
+
+class TestRTMVDataset:
+    def test_loads_json_cameras(self, tmp_path):
+        import json
+
+        rng = np.random.default_rng(25)
+        d = str(tmp_path)
+        os.makedirs(os.path.join(d, "images"))
+        n = 8
+        for i in range(n):
+            c2w = np.eye(4)
+            c2w[:3, :3] = _rand_rotation(rng)
+            c2w[:3, 3] = rng.normal(size=3)
+            meta = {
+                "camera_data": {
+                    "cam2world": c2w.T.tolist(),
+                    "intrinsics": {"fx": 20.0, "fy": 20.0, "cx": 8.0, "cy": 6.0},
+                    "width": 16,
+                    "height": 12,
+                    "scene_center_3d_box": [0.0, 0, 0],
+                    "scene_min_3d_box": [-1.0, -1, -1],
+                    "scene_max_3d_box": [1.0, 1, 1],
+                }
+            }
+            with open(os.path.join(d, f"{i:05d}.json"), "w") as f:
+                json.dump(meta, f)
+            img = (rng.uniform(size=(12, 16, 3)) * 255).astype(np.uint8)
+            _save_png(img, os.path.join(d, "images", f"{i:05d}.png"))
+        ds = datasets.RTMVDataset(d, "all", 8)
+        assert ds.n_images == n
+        assert ds.images.shape == (n, 12, 16, 3)
+        # OpenGL flip applied: rotation determinant stays +1.
+        dets = np.linalg.det(ds.camtoworlds[:, :3, :3])
+        np.testing.assert_allclose(dets, 1.0, atol=1e-5)
+        batch = ds.sample_batch()
+        assert batch.rgb.shape == (8, 3)
+
+
 class TestPadToMultiple:
     def test_pads_and_reports(self):
         tree = {"a": np.ones((10, 3)), "b": np.zeros((10, 1))}

@@ -92,6 +92,59 @@ class TestKlLoss:
         assert np.argmin(g) in (7, 8)
 
 
+class TestGaussianNllLoss:
+    def _setup(self):
+        steps = jnp.linspace(1.0, 5.0, 16)[None].repeat(2, 0)
+        return steps
+
+    def test_inside_distribution_is_zero(self):
+        steps = self._setup()
+        # Prediction exactly at the measurement, with tiny predicted variance
+        # and a generous measurement std -> the apply-mask is empty.
+        w = jnp.zeros((2, 16)).at[:, 8].set(1.0)
+        pred = steps[:, 8]
+        sup = pred
+        loss = losses.gaussian_nll_depth_loss(pred, steps, w, sup, 1.0)
+        np.testing.assert_allclose(float(loss), 0.0, atol=1e-6)
+
+    def test_outside_mean_penalized(self):
+        steps = self._setup()
+        w = jnp.zeros((2, 16)).at[:, 8].set(1.0)
+        pred = steps[:, 8]
+        sup_off = pred + 3.0  # |delta| > std -> applied
+        loss = losses.gaussian_nll_depth_loss(pred, steps, w, sup_off, 0.5)
+        assert float(loss) > 0
+
+    def test_invalid_rays_masked(self):
+        steps = self._setup()
+        w = jnp.ones((2, 16)) / 16
+        pred = jnp.array([3.0, 3.0])
+        sup = jnp.array([-1.0, -1.0])
+        loss = losses.gaussian_nll_depth_loss(pred, steps, w, sup, 0.1)
+        np.testing.assert_allclose(float(loss), 0.0)
+
+    def test_matches_reference_masked_sum_form(self):
+        # Hand-computed: variance term + mean term over applied rays / N.
+        steps = self._setup()
+        w = jnp.ones((2, 16)) / 16
+        pred = jnp.array([3.0, 3.0])
+        sup = jnp.array([5.0, -1.0])  # ray0 applied (|2| > 0.5), ray1 invalid
+        std = 0.5
+        pred_var = float(jnp.sum((steps[0] - 3.0) ** 2 / 16) + 1e-5)
+        want = 0.5 * (np.log(pred_var) + 4.0 / pred_var) / 2  # / N rays
+        loss = losses.gaussian_nll_depth_loss(pred, steps, w, sup, std)
+        np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
+    def test_gradient_finite(self):
+        steps = self._setup()
+        w = jnp.ones((2, 16)) / 16
+        sup = jnp.array([4.5, 2.0])
+        g = jax.grad(
+            lambda p: losses.gaussian_nll_depth_loss(p, steps, w, sup, 0.2)
+        )(jnp.array([3.0, 3.0]))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
 class TestUrfLoss:
     def test_perfect_prediction_is_small(self):
         t = jnp.linspace(1.0, 5.0, 33)[None]

@@ -246,6 +246,42 @@ class TestHashGridModel:
         table_grads = [v for k, v in leaves.items() if "table" in k]
         assert table_grads and float(jnp.abs(table_grads[0]).sum()) > 0
 
+    def test_hdr_tonemapper_path(self):
+        from tests.test_models import _unit_sphere_rays
+
+        model = ngp.HashGridModel(
+            scale=0.5,
+            max_samples=8,
+            n_candidates=32,
+            field_params=dict(n_levels=2, log2_table_size=10,
+                              base_resolution=4, max_resolution=16,
+                              hidden_width=16, geo_features=7,
+                              rgb_activation="none", tonemap_width=8),
+        )
+        rays = _unit_sphere_rays(n=4, seed=12)
+        variables = model.init(
+            jax.random.PRNGKey(0), rng=None, rays=rays, train_frac=1.0,
+            compute_extras=False,
+        )
+        names = {jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_leaves_with_path(variables)}
+        assert any("tonemap_hidden0" in n for n in names)
+        renderings, _ = model.apply(variables, None, rays)
+        ldr = np.asarray(renderings[-1]["rgb"])
+        assert np.all(np.isfinite(ldr)) and ldr.min() >= 0.0
+
+        # Exposure shifts the tonemapper input -> changes the output.
+        rays_expo = rays.replace(
+            exposure_values=jnp.full(rays.near.shape, 8.0)
+        )
+        renderings2, _ = model.apply(variables, None, rays_expo)
+        assert not np.allclose(np.asarray(renderings2[-1]["rgb"]), ldr)
+
+        # Radiance output mode is unbounded-positive, not sigmoid-squashed.
+        model_hdr = model.clone(output_radiance=True)
+        renderings3, _ = model_hdr.apply(variables, None, rays)
+        assert np.all(np.isfinite(np.asarray(renderings3[-1]["rgb"])))
+
     def test_occupancy_update_fn_and_train_step(self):
         import outdoor_nerf_depth_tpu.parallel as parallel
         from outdoor_nerf_depth_tpu.data import datasets as datasets_lib

@@ -140,6 +140,21 @@ class TestKlTrainStep:
         assert float(stats["loss_terms"]["depth"]) != 0
 
 
+class TestNllTrainStep:
+    def test_nll_depth_loss_path_compiles(self):
+        config = _config(depth_loss_type="nll", depth_sigma=0.25)
+        dataset = datasets_lib.SyntheticDataset("train", global_batch_size=64, seed=5)
+        mesh = parallel.make_mesh()
+        model, state = step_lib.init_state(config, jax.random.PRNGKey(0))
+        train_step = step_lib.make_train_step(
+            config, model, mesh, cameras=dataset.cameras, camtype=dataset.camtype
+        )
+        batch = parallel.shard_batch(dataset.sample_batch(), mesh)
+        state, stats = train_step(state, batch, jax.random.PRNGKey(1), 0.5)
+        assert np.isfinite(float(stats["loss"]))
+        assert "depth" in stats["loss_terms"]
+
+
 class TestNerfppTrainStep:
     def test_nerfpp_step(self):
         config = _config(
