@@ -119,3 +119,72 @@ class CompletionDataset:
             np.stack(sparses).astype(np.float32),
             np.stack(gts).astype(np.float32),
         )
+
+    def intrinsics(self, height: int, width: int) -> np.ndarray:
+        """Camera matrix for a (cropped) image: root/K.txt when present,
+        else the KITTI default focal with a centered principal point."""
+        k_file = os.path.join(os.path.dirname(self.image_dir), "K.txt")
+        if os.path.exists(k_file):
+            return np.loadtxt(k_file).reshape(3, 3).astype(np.float32)
+        focal = 721.5377  # KITTI raw calibration ballpark (std2019 default).
+        return np.array(
+            [[focal, 0, (width - 1) / 2.0], [0, focal, (height - 1) / 2.0],
+             [0, 0, 1.0]],
+            np.float32,
+        )
+
+    def sample_batch_with_near(self, batch_size: int):
+        """Batch augmented for photometric self-supervision.
+
+        Returns (rgb, sparse, gt, rgb_near, R [B,3,3], t [B,3], success [B],
+        K [3,3]): the nearby frame is the temporal neighbor (adjacent file),
+        with its relative pose estimated by PnP against the sparse depth
+        (reference `kitti_loader.py` + `pose_estimator.py` contract). Items
+        where PnP fails get identity pose and success=0 so the loss can
+        mask them.
+        """
+        from outdoor_nerf_depth_tpu.depth_priors import pose as pose_lib
+
+        ch, cw = self.crop
+        K = None
+        rgbs, sparses, gts, nears, Rs, ts, succ = [], [], [], [], [], [], []
+        for _ in range(batch_size):
+            i = int(self._rng.integers(len(self.files)))
+            j = i + 1 if i + 1 < len(self.files) else i - 1
+            name, near_name = self.files[i], self.files[max(0, j)]
+            rgb = load_image(os.path.join(self.image_dir, name)) / 255.0
+            near = load_image(os.path.join(self.image_dir, near_name)) / 255.0
+            sparse = load_image(os.path.join(self.sparse_dir, name)) / 256.0
+            gt_path = os.path.join(self.gt_dir, name)
+            gt = (
+                load_image(gt_path) / 256.0 if os.path.exists(gt_path) else sparse
+            )
+            h, w = rgb.shape[:2]
+            y0 = int(self._rng.integers(0, max(1, h - ch + 1)))
+            x0 = int(self._rng.integers(0, max(1, w - cw + 1)))
+            sl = np.s_[y0 : y0 + ch, x0 : x0 + cw]
+            rgb, near, sparse, gt = rgb[sl], near[sl], sparse[sl], gt[sl]
+            if K is None:
+                # Crop-local intrinsics: centered principal point at the
+                # crop size (all crops share one K for the jitted loss).
+                K = self.intrinsics(*rgb.shape[:2])
+            ok, R, t = pose_lib.estimate_pose_pnp(rgb, near, sparse, K)
+            if not ok:
+                R, t = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+            rgbs.append(rgb)
+            nears.append(near)
+            sparses.append(sparse)
+            gts.append(gt)
+            Rs.append(R)
+            ts.append(t)
+            succ.append(1.0 if ok else 0.0)
+        return (
+            np.stack(rgbs).astype(np.float32),
+            np.stack(sparses).astype(np.float32),
+            np.stack(gts).astype(np.float32),
+            np.stack(nears).astype(np.float32),
+            np.stack(Rs).astype(np.float32),
+            np.stack(ts).astype(np.float32),
+            np.asarray(succ, np.float32),
+            K.astype(np.float32),
+        )

@@ -1,12 +1,13 @@
 """CLI: render a smooth camera path from a trained checkpoint.
 
   python render.py --config exp/scene/config.json [n_frames=120] \
-      [path=ellipse|spiral|train] [render_height=.. render_width=..]
+      [path=ellipse|spiral|spline|train] [render_height=.. render_width=..]
 
 Replaces the reference's `mipnerf360/render.py` video driver: generates an
-inward-facing elliptical path (or reuses training poses), renders each
-frame's color + depth, writes PNGs to `exp_dir/path_renders/`, and stitches
-an mp4 when imageio+ffmpeg are available.
+inward-facing elliptical, forward-facing spiral, or keyframe-spline path
+(or reuses training poses), renders each frame's color + depth, writes PNGs
+to `exp_dir/path_renders/`, and stitches an mp4 when imageio+ffmpeg are
+available.
 """
 
 import os
@@ -50,6 +51,15 @@ def main(argv):
     if path_kind == "ellipse":
         poses = cameras_lib.generate_ellipse_path(
             dataset.camtoworlds, n_frames=n_frames
+        )
+    elif path_kind == "spiral":
+        poses = cameras_lib.generate_spiral_path(
+            dataset.camtoworlds, (dataset.near, dataset.far), n_frames=n_frames
+        )
+    elif path_kind == "spline":
+        keys = dataset.camtoworlds[:: max(1, len(dataset.camtoworlds) // 8)]
+        poses = cameras_lib.generate_spline_path(
+            keys, n_interp=max(1, n_frames // max(1, len(keys) - 1))
         )
     elif path_kind == "train":
         poses = dataset.camtoworlds[:n_frames]

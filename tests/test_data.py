@@ -301,6 +301,48 @@ class TestNerfppSceneDataset:
         np.testing.assert_allclose(np.asarray(batch.rays.near), ds.near)
 
 
+class TestRenderPaths:
+    def _ring_poses(self, n=12, radius=3.0):
+        poses = []
+        for i in range(n):
+            ang = 2 * np.pi * i / n
+            pos = np.array([radius * np.cos(ang), radius * np.sin(ang), 0.5])
+            poses.append(cameras.view_matrix(pos, np.array([0.0, 0, 1]), pos))
+        return np.stack(poses)
+
+    def test_ellipse_path_count_and_orthonormal(self):
+        poses = self._ring_poses()
+        path = cameras.generate_ellipse_path(poses, n_frames=30)
+        assert path.shape == (30, 3, 4)
+        for p in path[::7]:
+            np.testing.assert_allclose(p[:3, :3].T @ p[:3, :3], np.eye(3),
+                                       atol=1e-8)
+
+    def test_spiral_path_orbits_focus(self):
+        poses = self._ring_poses()
+        path = cameras.generate_spiral_path(poses, (0.5, 20.0), n_frames=24)
+        assert path.shape == (24, 3, 4)
+        for p in path[::5]:
+            np.testing.assert_allclose(p[:3, :3].T @ p[:3, :3], np.eye(3),
+                                       atol=1e-8)
+        # Positions stay near the 90th-percentile radii of the inputs.
+        assert np.abs(path[:, :3, 3]).max() <= np.abs(poses[:, :3, 3]).max() * 1.5
+
+    def test_spline_path_interpolates_keyframes(self):
+        poses = self._ring_poses(n=6)
+        path = cameras.generate_spline_path(poses, n_interp=8, smoothness=0.0)
+        assert path.shape == (8 * 5, 3, 4)
+        # Exact interpolation (s=0): first output pose ~ first keyframe.
+        np.testing.assert_allclose(path[0, :3, 3], poses[0, :3, 3], atol=1e-6)
+        for p in path[::11]:
+            np.testing.assert_allclose(p[:3, :3].T @ p[:3, :3], np.eye(3),
+                                       atol=1e-7)
+        # Path positions are continuous: no jumps bigger than the keyframe gap.
+        jumps = np.linalg.norm(np.diff(path[:, :3, 3], axis=0), axis=-1)
+        gaps = np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=-1)
+        assert jumps.max() < gaps.max()
+
+
 def _save_png(arr, path):
     from PIL import Image as PILImage
 

@@ -160,6 +160,89 @@ class TestCompletion:
         assert float(completion.edge_aware_smoothness(noisy, rgb)) > 0.1
 
 
+class TestPoseAndWarp:
+    def test_bilinear_sample_identity_and_bounds(self):
+        from outdoor_nerf_depth_tpu.depth_priors import pose
+
+        rng = np.random.default_rng(30)
+        img = jnp.asarray(rng.uniform(size=(6, 8, 3)).astype(np.float32))
+        xs, ys = jnp.meshgrid(jnp.arange(8.0), jnp.arange(6.0))
+        out = pose.bilinear_sample(img, xs, ys)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+        # Outside -> zero.
+        out2 = pose.bilinear_sample(img, xs + 100.0, ys)
+        np.testing.assert_allclose(np.asarray(out2), 0.0)
+
+    def test_inverse_warp_pure_translation(self):
+        from outdoor_nerf_depth_tpu.depth_priors import pose
+
+        rng = np.random.default_rng(31)
+        h, w, z0, fx, dx = 24, 32, 10.0, 50.0, 4
+        rgb = rng.uniform(size=(h, w, 3)).astype(np.float32)
+        rgb_near = np.roll(rgb, dx, axis=1)  # feature at u appears at u+dx
+        K = np.array([[fx, 0, (w - 1) / 2], [0, fx, (h - 1) / 2], [0, 0, 1]],
+                     np.float32)
+        t = np.array([dx * z0 / fx, 0, 0], np.float32)
+        warped, valid = pose.inverse_warp(
+            jnp.asarray(rgb_near), jnp.full((h, w), z0), jnp.eye(3), t, K
+        )
+        v = np.asarray(valid)
+        assert v.sum() > 0.5 * v.size
+        np.testing.assert_allclose(
+            np.asarray(warped)[v], rgb[v], atol=1e-4
+        )
+
+    def test_warp_gradient_reaches_depth(self):
+        from outdoor_nerf_depth_tpu.depth_priors import pose
+
+        rng = np.random.default_rng(32)
+        h, w = 16, 20
+        rgb = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+        near = jnp.asarray(rng.uniform(size=(h, w, 3)).astype(np.float32))
+        K = np.array([[30.0, 0, 9.5], [0, 30.0, 7.5], [0, 0, 1]], np.float32)
+        t = np.array([0.3, 0.0, 0.1], np.float32)
+
+        def loss(depth):
+            warped, valid = pose.inverse_warp(near, depth, jnp.eye(3), t, K)
+            return completion.photometric_loss(warped, rgb, mask=valid)
+
+        g = jax.grad(loss)(jnp.full((h, w), 5.0))
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g)) and np.abs(g).sum() > 0
+
+    def test_estimate_pose_pnp_translation(self):
+        from outdoor_nerf_depth_tpu.depth_priors import pose
+
+        pytest.importorskip("cv2")
+        rng = np.random.default_rng(33)
+        h, w, z0, dx = 128, 192, 10.0, 6
+        fx = 100.0
+        # Blob texture gives ORB corners to latch onto.
+        base = rng.uniform(size=(h // 8, w // 8, 3))
+        rgb = np.kron(base, np.ones((8, 8, 1)))[:h, :w].astype(np.float32)
+        rgb += rng.normal(0, 0.02, rgb.shape).astype(np.float32)
+        rgb = np.clip(rgb, 0, 1)
+        rgb_near = np.roll(rgb, dx, axis=1)
+        depth = np.full((h, w), z0, np.float32)
+        K = np.array([[fx, 0, (w - 1) / 2], [0, fx, (h - 1) / 2], [0, 0, 1]],
+                     np.float32)
+        ok, R, t = pose.estimate_pose_pnp(rgb, rgb_near, depth, K)
+        assert ok
+        np.testing.assert_allclose(R, np.eye(3), atol=0.05)
+        want_tx = dx * z0 / fx
+        np.testing.assert_allclose(t[0], want_tx, atol=0.15)
+
+    def test_multiscale_shapes(self):
+        from outdoor_nerf_depth_tpu.depth_priors import pose
+
+        img = jnp.ones((16, 24, 3))
+        pyr = pose.multiscale(img, 3)
+        assert [p.shape[:2] for p in pyr] == [(16, 24), (8, 12), (4, 6)]
+        d = jnp.ones((16, 24))
+        pyr_d = pose.multiscale(d, 2)
+        assert pyr_d[1].shape == (8, 12)
+
+
 class TestGeneratePriors:
     def test_stereo_prior_pipeline(self, tmp_path):
         import os

@@ -68,6 +68,26 @@ class TestCompletionDataset:
         assert (sparse > 0).mean() < 0.5  # sparse is actually sparse
         assert (gt > 0).mean() > 0.9
 
+    def test_batch_with_near_shapes_and_fallback(self, tmp_path):
+        root = _make_completion_root(tmp_path)
+        ds = prior_data.CompletionDataset(root, crop=(32, 48))
+        rgb, sp, gt, near, R, t, succ, K = ds.sample_batch_with_near(2)
+        assert rgb.shape == near.shape == (2, 32, 48, 3)
+        assert R.shape == (2, 3, 3) and t.shape == (2, 3)
+        assert K.shape == (3, 3) and succ.shape == (2,)
+        # Random-noise crops rarely match; failed PnP must give identity.
+        for b in range(2):
+            if succ[b] == 0.0:
+                np.testing.assert_allclose(R[b], np.eye(3))
+                np.testing.assert_allclose(t[b], 0.0)
+
+    def test_intrinsics_from_file(self, tmp_path):
+        root = _make_completion_root(tmp_path)
+        want = np.array([[50.0, 0, 20.0], [0, 52.0, 10.0], [0, 0, 1]])
+        np.savetxt(os.path.join(root, "K.txt"), want)
+        ds = prior_data.CompletionDataset(root, crop=(32, 48))
+        np.testing.assert_allclose(ds.intrinsics(32, 48), want)
+
 
 class TestTrainPriorCli:
     def test_stereo_smoke(self, tmp_path):
@@ -89,4 +109,13 @@ class TestTrainPriorCli:
         train_prior.main([
             "complete", "--data", root, "--steps", "2", "--batch", "1",
             "--crop", "32", "48", "--print-every", "1", "--cpu",
+        ])
+
+    def test_completion_photo_smoke(self, tmp_path):
+        import train_prior
+
+        root = _make_completion_root(tmp_path / "data")
+        train_prior.main([
+            "complete", "--data", root, "--steps", "2", "--batch", "1",
+            "--crop", "32", "48", "--print-every", "1", "--cpu", "--photo",
         ])

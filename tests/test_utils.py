@@ -10,6 +10,22 @@ from outdoor_nerf_depth_tpu.ops import guided_conv
 from outdoor_nerf_depth_tpu.utils import image, vis
 
 
+class TestIdempotentGuard:
+    def test_experiment_finished_detection(self, tmp_path):
+        import train as train_cli
+        from outdoor_nerf_depth_tpu.train.config import Config
+
+        exp = str(tmp_path / "exp")
+        config = Config(exp_dir=exp, max_steps=100)
+        assert not train_cli.experiment_finished(config)
+        os.makedirs(os.path.join(exp, "checkpoints", "100"))
+        assert not train_cli.experiment_finished(config)  # no renders yet
+        os.makedirs(os.path.join(exp, "renders"))
+        assert not train_cli.experiment_finished(config)  # renders empty
+        open(os.path.join(exp, "renders", "color_000.png"), "w").close()
+        assert train_cli.experiment_finished(config)
+
+
 class TestSrgb:
     def test_roundtrip(self):
         x = jnp.linspace(0.0, 1.0, 256)

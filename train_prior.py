@@ -32,6 +32,14 @@ def main(argv):
             q.add_argument("--max-disparity", type=int, default=192)
         else:
             q.add_argument("--arch", default="guided", choices=["guided", "resnet"])
+            q.add_argument(
+                "--photo",
+                action="store_true",
+                help="add self-supervised photometric loss (PnP pose + "
+                "inverse warp from the temporal neighbor)",
+            )
+            q.add_argument("--photo-weight", type=float, default=0.1)
+            q.add_argument("--smooth-weight", type=float, default=0.01)
     args = p.parse_args(argv)
 
     if args.cpu:
@@ -71,12 +79,37 @@ def main(argv):
             jax.random.PRNGKey(0), jnp.asarray(rgb), jnp.asarray(sp)
         )
 
-        def loss_fn(v, rgb, sp, gt):
-            pred = model.apply(v, rgb, sp)
-            return (
-                completion.masked_depth_mse(pred, gt)
-                + 0.01 * completion.edge_aware_smoothness(pred, rgb)
-            )
+        if args.photo:
+            from outdoor_nerf_depth_tpu.depth_priors import pose as pose_lib
+
+            def loss_fn(v, rgb, sp, gt, rgb_near, R, t, success, K):
+                pred = model.apply(v, rgb, sp)
+                loss = completion.masked_depth_mse(pred, gt)
+                loss += args.smooth_weight * completion.edge_aware_smoothness(
+                    pred, rgb
+                )
+                warped, valid = jax.vmap(
+                    pose_lib.inverse_warp, in_axes=(0, 0, 0, 0, None)
+                )(rgb_near, pred, R, t, K)
+                # Mask out frames where host-side PnP failed.
+                valid = valid & (success[:, None, None] > 0)
+                loss += args.photo_weight * completion.photometric_loss(
+                    warped, rgb, mask=valid
+                )
+                return loss
+
+            def sample():
+                return ds.sample_batch_with_near(args.batch)
+
+        else:
+
+            def loss_fn(v, rgb, sp, gt):
+                pred = model.apply(v, rgb, sp)
+                return (
+                    completion.masked_depth_mse(pred, gt)
+                    + args.smooth_weight
+                    * completion.edge_aware_smoothness(pred, rgb)
+                )
 
     tx = optax.adam(args.lr)
     opt_state = tx.init(variables)
@@ -87,9 +120,13 @@ def main(argv):
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(variables, updates), opt_state, loss
 
+    sample_batch = (
+        sample if args.cmd == "complete" and getattr(args, "photo", False)
+        else lambda: ds.sample_batch(args.batch)
+    )
     t0 = time.perf_counter()
     for step in range(args.steps):
-        batch = tuple(jnp.asarray(a) for a in ds.sample_batch(args.batch))
+        batch = tuple(jnp.asarray(a) for a in sample_batch())
         variables, opt_state, loss = train_step(variables, opt_state, *batch)
         if (step + 1) % args.print_every == 0:
             dt = time.perf_counter() - t0
