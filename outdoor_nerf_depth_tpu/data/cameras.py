@@ -286,6 +286,32 @@ def focus_point(poses: np.ndarray) -> np.ndarray:
     return np.squeeze(-np.linalg.inv(mt_m.mean(0)) @ (mt_m @ -origins).mean(0))
 
 
+def fundamental_matrix(K1, w2c1, K2, w2c2) -> np.ndarray:
+    """F such that x2^T F x1 = 0 for correspondences (pixels, homogeneous).
+
+    The math behind the reference's epipolar inspector
+    (`nerfplusplus/camera_inspector/inspect_epipolar_geometry.py`): relative
+    pose cam1->cam2, essential from the translation cross-product, lifted
+    to pixels through the inverse intrinsics.
+    """
+    rel = np.asarray(w2c2) @ np.linalg.inv(np.asarray(w2c1))
+    R, t = rel[:3, :3], rel[:3, 3]
+    tx = np.array(
+        [[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]]
+    )
+    E = tx @ R
+    return np.linalg.inv(np.asarray(K2)).T @ E @ np.linalg.inv(np.asarray(K1))
+
+
+def epipolar_line(pixel_xy, F) -> np.ndarray:
+    """Line coefficients (a, b, c) in image 2 for a pixel in image 1
+    (ax + by + c = 0), normalized so (a, b) is unit."""
+    x = np.array([pixel_xy[0], pixel_xy[1], 1.0])
+    l = np.asarray(F) @ x
+    n = np.linalg.norm(l[:2])
+    return l / (n + 1e-12)
+
+
 def generate_spiral_path(
     poses: np.ndarray,
     bounds,

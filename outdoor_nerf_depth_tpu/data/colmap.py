@@ -283,6 +283,59 @@ def read_points3d_txt(path: str) -> Dict[int, Point3D]:
     return out
 
 
+def write_cameras_txt(cams: Mapping[int, Camera], path: str):
+    with open(path, "w") as f:
+        f.write("# Camera list: CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
+        for cam in cams.values():
+            params = " ".join(repr(float(p)) for p in cam.params)
+            f.write(
+                f"{cam.camera_id} {cam.model} {cam.width} {cam.height} "
+                f"{params}\n"
+            )
+
+
+def write_images_txt(images: Mapping[int, Image], path: str):
+    with open(path, "w") as f:
+        f.write(
+            "# Image list, two lines per image:\n"
+            "#   IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+            "#   POINTS2D[] as (X, Y, POINT3D_ID)\n"
+        )
+        for im in images.values():
+            q = " ".join(repr(float(v)) for v in im.qvec)
+            t = " ".join(repr(float(v)) for v in im.tvec)
+            f.write(f"{im.image_id} {q} {t} {im.camera_id} {im.name}\n")
+            pts = " ".join(
+                f"{float(x)!r} {float(y)!r} {int(pid)}"
+                for (x, y), pid in zip(im.xys, im.point3d_ids)
+            )
+            f.write(pts + "\n")
+
+
+def write_points3d_txt(points: Mapping[int, Point3D], path: str):
+    with open(path, "w") as f:
+        f.write(
+            "# 3D point list: POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+            "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n"
+        )
+        for p in points.values():
+            xyz = " ".join(repr(float(v)) for v in p.xyz)
+            rgb = " ".join(str(int(v)) for v in p.rgb)
+            track = " ".join(
+                f"{int(i)} {int(j)}"
+                for i, j in zip(p.image_ids, p.point2d_idxs)
+            )
+            f.write(f"{p.point3d_id} {xyz} {rgb} {float(p.error)!r} {track}\n")
+
+
+def write_model_txt(cams, images, points, sparse_dir: str):
+    """Write a full txt model (the layout `point_triangulator` ingests)."""
+    os.makedirs(sparse_dir, exist_ok=True)
+    write_cameras_txt(cams, os.path.join(sparse_dir, "cameras.txt"))
+    write_images_txt(images, os.path.join(sparse_dir, "images.txt"))
+    write_points3d_txt(points, os.path.join(sparse_dir, "points3D.txt"))
+
+
 def read_model(sparse_dir: str, load_points: bool = False):
     """Read a COLMAP sparse model dir, auto-detecting .bin vs .txt.
 

@@ -71,6 +71,151 @@ def run_colmap(
     return os.path.join(sparse, "0")
 
 
+def build_posed_database(
+    db_path: str,
+    names,
+    K: np.ndarray,
+    width: int,
+    height: int,
+    poses_c2w: Optional[np.ndarray] = None,
+    camera_model: str = "PINHOLE",
+):
+    """Create a COLMAP database pre-registered with known cameras/images.
+
+    The first half of the reference's `run_colmap_posed.py`: one shared
+    camera, every image inserted (with pose priors when `poses_c2w` given,
+    OpenCV c2w [N,3,4] or [N,4,4]) so feature extraction keeps stable ids
+    and `point_triangulator` can run against fixed poses. Returns
+    {name: image_id}.
+    """
+    from outdoor_nerf_depth_tpu.data import colmap_db
+
+    if camera_model == "PINHOLE":
+        params = np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]])
+    elif camera_model == "SIMPLE_PINHOLE":
+        params = np.array([K[0, 0], K[0, 2], K[1, 2]])
+    else:
+        raise ValueError(f"unsupported posed camera model {camera_model!r}")
+
+    ids = {}
+    with colmap_db.ColmapDatabase(db_path) as db:
+        cam_id = db.add_camera(camera_model, width, height, params)
+        for i, name in enumerate(names):
+            qvec = tvec = None
+            if poses_c2w is not None:
+                w2c = np.linalg.inv(
+                    np.vstack([poses_c2w[i][:3, :4], [[0, 0, 0, 1]]])
+                )
+                qvec = colmap.rotation_to_quaternion(w2c[:3, :3])
+                tvec = w2c[:3, 3]
+            ids[name] = db.add_image(name, cam_id, qvec=qvec, tvec=tvec)
+    return ids
+
+
+def run_colmap_posed(
+    image_dir: str,
+    workspace: str,
+    poses_c2w: np.ndarray,
+    K: np.ndarray,
+    width: int,
+    height: int,
+    use_gpu: bool = False,
+    log_fn=print,
+) -> str:
+    """Triangulate a sparse model against KNOWN camera poses.
+
+    The reference's `colmap_runner/run_colmap_posed.py` pipeline: build a
+    database with fixed cameras + pose priors, extract/match features, write
+    a points-free txt model carrying the known poses, and run
+    `colmap point_triangulator` (which keeps poses fixed). Returns the
+    triangulated sparse dir.
+    """
+    if shutil.which("colmap") is None:
+        raise FileNotFoundError("colmap binary not found on PATH")
+    os.makedirs(workspace, exist_ok=True)
+    db = os.path.join(workspace, "database.db")
+    names = sorted(os.listdir(image_dir))
+    ids = build_posed_database(db, names, K, width, height, poses_c2w)
+
+    gpu = "1" if use_gpu else "0"
+
+    def run(*args):
+        log_fn("$ colmap " + " ".join(args))
+        subprocess.run(["colmap", *args], check=True)
+
+    run(
+        "feature_extractor",
+        "--database_path", db,
+        "--image_path", image_dir,
+        "--SiftExtraction.use_gpu", gpu,
+    )
+    run("exhaustive_matcher", "--database_path", db,
+        "--SiftMatching.use_gpu", gpu)
+
+    # Known-pose model with zero 3D points for the triangulator to fill.
+    prior_dir = os.path.join(workspace, "sparse_prior")
+    cams = {
+        1: colmap.Camera(
+            1, "PINHOLE", width, height,
+            np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+        )
+    }
+    images = {}
+    for i, name in enumerate(names):
+        w2c = np.linalg.inv(np.vstack([poses_c2w[i][:3, :4], [[0, 0, 0, 1]]]))
+        images[ids[name]] = colmap.Image(
+            ids[name],
+            colmap.rotation_to_quaternion(w2c[:3, :3]),
+            w2c[:3, 3],
+            1,
+            name,
+            np.zeros((0, 2)),
+            np.zeros(0, np.int64),
+        )
+    colmap.write_model_txt(cams, images, {}, prior_dir)
+
+    out_dir = os.path.join(workspace, "sparse", "0")
+    os.makedirs(out_dir, exist_ok=True)
+    run(
+        "point_triangulator",
+        "--database_path", db,
+        "--image_path", image_dir,
+        "--input_path", prior_dir,
+        "--output_path", out_dir,
+    )
+    return out_dir
+
+
+def extract_sfm_json(sparse_dir: str, out_path: str) -> int:
+    """Dump the sparse reconstruction (poses, intrinsics, tracks) to JSON.
+
+    Equivalent of `colmap_runner/extract_sfm.py`: per-image {K, W2C,
+    image size, observed 3D point ids} plus the point cloud — the portable
+    hand-off format for downstream tools. Returns the number of images.
+    """
+    cams, images, points = colmap.read_model(sparse_dir, load_points=True)
+    out = {"images": {}, "points": []}
+    for im in sorted(images.values(), key=lambda i: i.name):
+        cam = cams[im.camera_id]
+        K = [[float(cam.fx), 0.0, float(cam.cx)],
+             [0.0, float(cam.fy), float(cam.cy)], [0.0, 0.0, 1.0]]
+        out["images"][im.name] = {
+            "K": K,
+            "W2C": im.world_to_cam().tolist(),
+            "width": int(cam.width),
+            "height": int(cam.height),
+            "point3d_ids": [int(p) for p in im.point3d_ids if p >= 0],
+        }
+    for p in points.values():
+        out["points"].append(
+            {"id": int(p.point3d_id), "xyz": p.xyz.tolist(),
+             "rgb": p.rgb.tolist(), "error": float(p.error)}
+        )
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+    return len(out["images"])
+
+
 def camera_centers_from_model(images) -> np.ndarray:
     """World positions of all registered cameras, [N, 3]."""
     return np.stack(

@@ -252,7 +252,14 @@ class PointFieldMLP(nn.Module):
 
     @nn.compact
     def __call__(self, pts: jax.Array, viewdirs: jax.Array):
-        """pts [..., input_dim], viewdirs [..., 3] -> (sigma [...], rgb [..., 3])."""
+        """pts [..., S, input_dim], viewdirs [..., 3] or [..., S, 3]
+        -> (sigma [..., S], rgb [..., S, 3]).
+
+        Viewdirs may be per-ray (one fewer axis than pts): the directional
+        encoding is then computed once per ray and broadcast across samples
+        — S-fold fewer sin/cos on the VPU and an S-fold smaller dir-enc
+        activation held for backward.
+        """
         x = spaces.pos_enc(pts, 0, self.pos_degrees).astype(self.compute_dtype)
         skip_in = x
         for i in range(self.net_depth):
@@ -264,10 +271,14 @@ class PointFieldMLP(nn.Module):
 
         sigma = jnp.abs(self._dense(1)(x).astype(jnp.float32)[..., 0])
 
-        base = self._dense(256)(x)
+        base = self._dense(self.net_width)(x)
         dir_enc = spaces.pos_enc(viewdirs, 0, self.view_degrees).astype(
             self.compute_dtype
         )
+        if dir_enc.ndim == base.ndim - 1:  # per-ray dirs: broadcast over S
+            dir_enc = jnp.broadcast_to(
+                dir_enc[..., None, :], base.shape[:-1] + (dir_enc.shape[-1],)
+            )
         y = jnp.concatenate([base, dir_enc], axis=-1)
         y = nn.relu(self._dense(self.net_width // 2)(y))
         rgb = nn.sigmoid(self._dense(3)(y).astype(jnp.float32))

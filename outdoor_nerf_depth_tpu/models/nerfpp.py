@@ -68,10 +68,10 @@ class _SphereSceneLevel(nn.Module):
         d_norm = jnp.linalg.norm(ray_d, axis=-1, keepdims=True)
         viewdirs = ray_d / d_norm
 
-        # ---- Foreground: points inside the unit sphere.
+        # ---- Foreground: points inside the unit sphere. Viewdirs stay
+        # per-ray; the field broadcasts their encoding across samples.
         fg_pts = ray_o[..., None, :] + fg_z[..., None] * ray_d[..., None, :]
-        fg_view = jnp.broadcast_to(viewdirs[..., None, :], fg_pts.shape)
-        fg_sigma, fg_rgb = self.fg_field(fg_pts, fg_view)
+        fg_sigma, fg_rgb = self.fg_field(fg_pts, viewdirs)
 
         # Interval lengths: sample-to-sample plus the stretch to the sphere
         # exit, all scaled to metric by |d|.
@@ -98,8 +98,7 @@ class _SphereSceneLevel(nn.Module):
         )
         bg_d = jnp.broadcast_to(ray_d[..., None, :], bg_o.shape)
         bg_pts, bg_t = geometry.inverted_sphere_points(bg_o, bg_d, inv_r_nf)
-        bg_view = jnp.broadcast_to(viewdirs[..., None, :], bg_o.shape)
-        bg_sigma, bg_rgb = self.bg_field(bg_pts, bg_view)
+        bg_sigma, bg_rgb = self.bg_field(bg_pts, viewdirs)
 
         # Shell widths in inverse-radius space; the outermost shell extends
         # to infinity so the background always terminates.

@@ -79,10 +79,16 @@ def encode(x, table, resolutions, table_size: int):
       table_size: T (power of two).
 
     Returns [..., L * F] interpolated features.
+
+    All levels' corner lookups are folded into ONE gather over the
+    flattened [L*T, F] table (index arithmetic per level is fused VPU
+    work): one gather HLO + one transpose scatter-add in backward instead
+    of L of each, which measures meaningfully faster than a
+    per-level-`take` loop on TPU.
     """
-    n_levels = table.shape[0]
-    outs = []
+    n_levels, _, n_feats = table.shape
     x = jnp.clip(x, 0.0, 1.0)
+    idx_levels, w_levels = [], []
     for level in range(n_levels):
         res = int(resolutions[level])
         pos = x * res  # cell coordinates in [0, res]
@@ -92,15 +98,23 @@ def encode(x, table, resolutions, table_size: int):
 
         corners = cell[..., None, :] + _CORNERS  # [..., 8, 3]
         idx = _hash_corner(corners, res, table_size)  # [..., 8]
-        feats = jnp.take(table[level], idx, axis=0)  # [..., 8, F]
-
+        idx_levels.append(idx + level * table_size)
         # Trilinear weights from the corner pattern (product form).
-        w = jnp.prod(
-            jnp.where(_CORNERS[:, :] == 1, frac[..., None, :], 1.0 - frac[..., None, :]),
-            axis=-1,
+        w_levels.append(
+            jnp.prod(
+                jnp.where(
+                    _CORNERS[:, :] == 1, frac[..., None, :], 1.0 - frac[..., None, :]
+                ),
+                axis=-1,
+            )
         )  # [..., 8]
-        outs.append(jnp.sum(w[..., None] * feats, axis=-2))
-    return jnp.concatenate(outs, axis=-1)
+
+    idx_all = jnp.stack(idx_levels, axis=-2)  # [..., L, 8]
+    w_all = jnp.stack(w_levels, axis=-2)  # [..., L, 8]
+    flat_table = table.reshape(-1, n_feats)  # [L*T, F]
+    feats = jnp.take(flat_table, idx_all, axis=0)  # [..., L, 8, F]
+    out = jnp.sum(w_all[..., None] * feats, axis=-2)  # [..., L, F]
+    return out.reshape(out.shape[:-2] + (n_levels * n_feats,))
 
 
 class HashGridEncoding(nn.Module):
