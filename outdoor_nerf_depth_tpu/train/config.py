@@ -82,6 +82,15 @@ class Config:
     grad_max_norm: float = 0.001
     grad_max_val: float = 0.0
     randomized: bool = True
+    # Rematerialization of the model forward inside the train step: trades
+    # one recompute of the forward for not holding its activations through
+    # backward — lifts the max-batch HBM ceiling ~3x. "dots" saves matmul
+    # outputs (cheaper recompute); "full" saves nothing.
+    remat: str = "none"  # none | full | dots
+    # Microbatching: split each step's rays into K sequential chunks
+    # (lax.scan), accumulate gradients, apply adam once. Peak activation
+    # memory scales 1/K — the lever for ray batches past the HBM ceiling.
+    grad_accum_steps: int = 1
 
     # -- depth bookkeeping
     depth_scale: float = 1.0  # filled by the loader (pose-normalization scale)

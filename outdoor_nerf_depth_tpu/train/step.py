@@ -236,18 +236,37 @@ def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspect
             "nll",
         )
 
-        def loss_fn(params):
-            renderings, ray_history = model.apply(
+        def forward(params, step_rng, fwd_rays, frac):
+            return model.apply(
                 params,
-                rng if config.randomized else None,
-                rays,
-                train_frac=train_frac,
+                step_rng,
+                fwd_rays,
+                train_frac=frac,
                 compute_extras=compute_extras,
                 zero_glo=False,
                 **model_kwargs,
             )
+
+        if config.remat != "none":
+            # Recompute the forward during backward instead of holding its
+            # activations in HBM (jax.checkpoint). "dots" keeps matmul
+            # outputs (recompute is elementwise-only); "full" keeps nothing.
+            policy = (
+                jax.checkpoint_policies.checkpoint_dots
+                if config.remat == "dots"
+                else None
+            )
+            forward = jax.checkpoint(forward, policy=policy)
+
+        def loss_fn(params, c_batch, c_rays, c_rng):
+            renderings, ray_history = forward(
+                params,
+                c_rng if config.randomized else None,
+                c_rays,
+                train_frac,
+            )
             loss_terms, stats = _total_loss(
-                config, model, batch, renderings, ray_history, rays
+                config, model, c_batch, renderings, ray_history, c_rays
             )
             if config.weight_decay_mults:
                 wd = 0.0
@@ -263,7 +282,42 @@ def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspect
             stats["loss"] = total
             return total, stats
 
-        (_, stats), grad = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        n_accum = max(1, config.grad_accum_steps)
+        if n_accum == 1:
+            (_, stats), grad = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rays, rng
+            )
+        else:
+            # Microbatching: scan K sequential chunks, summing gradients.
+            # Peak activation memory is one chunk's; XLA keeps only the
+            # accumulator (same dtype/shape as params) live across chunks.
+            def chunked(x):
+                return x.reshape((n_accum, x.shape[0] // n_accum) + x.shape[1:])
+
+            chunks = jax.tree_util.tree_map(chunked, (batch, rays))
+            keys = (
+                jax.random.split(rng, n_accum)
+                if rng is not None
+                else jnp.zeros((n_accum, 2), jnp.uint32)
+            )
+
+            def body(grad_acc, inp):
+                (c_batch, c_rays), key = inp
+                (_, s), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, c_batch, c_rays, key
+                )
+                return jax.tree_util.tree_map(jnp.add, grad_acc, g), s
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            grad, stats_stack = jax.lax.scan(body, zeros, (chunks, keys))
+            grad = jax.tree_util.tree_map(lambda g: g / n_accum, grad)
+            # Chunk-mean every stacked stat (losses are per-chunk means of
+            # equal-size chunks, so this equals the full-batch value for
+            # mean_all reductions).
+            stats = jax.tree_util.tree_map(
+                lambda s: jnp.mean(s, axis=0), stats_stack
+            )
+
         # No explicit pmean: the loss averages over the *global* sharded
         # batch, so reverse-mode AD emits the cross-device reduction and XLA
         # schedules it as an all-reduce overlapped with backward.

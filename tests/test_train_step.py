@@ -155,6 +155,53 @@ class TestNllTrainStep:
         assert "depth" in stats["loss_terms"]
 
 
+class TestRematTrainStep:
+    @pytest.mark.parametrize("remat", ["full", "dots"])
+    def test_remat_matches_no_remat(self, remat):
+        # Same seed, one step with and without remat -> identical stats.
+        results = {}
+        for mode in ("none", remat):
+            config = _config(remat=mode)
+            dataset = datasets_lib.SyntheticDataset(
+                "train", global_batch_size=64, seed=11
+            )
+            mesh = parallel.make_mesh()
+            model, state = step_lib.init_state(config, jax.random.PRNGKey(0))
+            ts = step_lib.make_train_step(
+                config, model, mesh, cameras=dataset.cameras,
+                camtype=dataset.camtype,
+            )
+            batch = parallel.shard_batch(dataset.sample_batch(), mesh)
+            _, stats = ts(state, batch, jax.random.PRNGKey(1), 0.5)
+            results[mode] = (float(stats["loss"]), float(stats["grad_norm"]))
+        base = results["none"]
+        np.testing.assert_allclose(results[remat][0], base[0], rtol=1e-5)
+        np.testing.assert_allclose(results[remat][1], base[1], rtol=1e-4)
+
+
+class TestGradAccumTrainStep:
+    def test_accum_matches_single_pass(self):
+        # With deterministic sampling and mean_all reductions, K chunk
+        # gradients averaged == one full-batch gradient.
+        results = {}
+        for accum in (1, 4):
+            config = _config(grad_accum_steps=accum, randomized=False)
+            dataset = datasets_lib.SyntheticDataset(
+                "train", global_batch_size=64, seed=13
+            )
+            mesh = parallel.make_mesh()
+            model, state = step_lib.init_state(config, jax.random.PRNGKey(0))
+            ts = step_lib.make_train_step(
+                config, model, mesh, cameras=dataset.cameras,
+                camtype=dataset.camtype,
+            )
+            batch = parallel.shard_batch(dataset.sample_batch(), mesh)
+            _, stats = ts(state, batch, jax.random.PRNGKey(1), 0.5)
+            results[accum] = (float(stats["loss"]), float(stats["grad_norm"]))
+        np.testing.assert_allclose(results[4][0], results[1][0], rtol=1e-5)
+        np.testing.assert_allclose(results[4][1], results[1][1], rtol=1e-3)
+
+
 class TestNerfppTrainStep:
     def test_nerfpp_step(self):
         config = _config(
