@@ -36,11 +36,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch on device, ray axis sharded over the mesh.
 
-    With multiple processes each host holds 1/process_count of the global
-    batch; `device_put` with a NamedSharding assembles the global array from
-    per-host shards (jax.Array single-controller semantics).
+    Single process: one `device_put` with the NamedSharding. Multiple
+    processes: each host holds 1/process_count of the global batch (the
+    data layer already slices per `jax.process_index()`), and
+    `make_array_from_process_local_data` assembles the global jax.Array
+    from the per-host shards (single-controller semantics).
     """
     sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding) if x is not None else None, batch
-    )
+    n_proc = jax.process_count()
+
+    def put(x):
+        if x is None:
+            return None
+        if n_proc == 1:
+            return jax.device_put(x, sharding)
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree_util.tree_map(put, batch)
