@@ -1,0 +1,70 @@
+"""AOT memory analysis of the NGP train step at several shapes."""
+import json
+import sys
+
+import jax
+
+from outdoor_nerf_depth_tpu import parallel
+from outdoor_nerf_depth_tpu.data import cameras as cameras_lib
+from outdoor_nerf_depth_tpu.data import datasets as datasets_lib
+from outdoor_nerf_depth_tpu.ops import occupancy as occ_lib
+from outdoor_nerf_depth_tpu.train import step as step_lib
+from outdoor_nerf_depth_tpu.train.config import Config
+
+
+def analyze(batch, max_samples, n_candidates):
+    config = Config(
+        model="ngp",
+        model_params=dict(scale=0.5, max_samples=max_samples,
+                          n_candidates=n_candidates,
+                          compute_dtype="bfloat16"),
+        compute_dtype="bfloat16",
+        batch_size=batch,
+        lambda_depth=0.1, depth_loss_type="mse",
+        interlevel_loss_mult=0.0, distortion_loss_mult=0.0,
+        opacity_loss_mult=1e-3, lr_delay_steps=0,
+    )
+    ds = datasets_lib.SyntheticDataset("train", global_batch_size=batch,
+                                       n_images=4, height=16, width=16, seed=0)
+    mesh = parallel.make_mesh()
+    model, state = step_lib.init_state(config, jax.random.PRNGKey(0))
+    grid = occ_lib.init_grid(model.scale, model.grid_resolution)
+
+    from outdoor_nerf_depth_tpu.train.step import make_train_step
+    ts_wrapped = make_train_step(config, model, mesh, cameras=ds.cameras,
+                                 camtype=ds.camtype)
+    b = parallel.shard_batch(ds.sample_batch(), mesh)
+    # Reach into the jit wrapper via lower/compile on the same closure.
+    import outdoor_nerf_depth_tpu.train.step as s
+    # Rebuild the raw step fn by calling make_train_step's internals is
+    # invasive; instead lower the wrapped callable through jax.jit tracing:
+    lowered = jax.jit(
+        lambda st, bb, rng, tf, aux: ts_wrapped.__wrapped__(st, bb, rng, tf, aux)
+        if hasattr(ts_wrapped, "__wrapped__") else None
+    )
+    return config, ds, mesh, model, state, grid, b
+
+
+if __name__ == "__main__":
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    ms = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    nc = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    config, ds, mesh, model, state, grid, b = analyze(batch, ms, nc)
+    # Directly lower the module-level step by re-deriving it: use the
+    # public factory and its jitted internals via AOT lower on a wrapper.
+    from outdoor_nerf_depth_tpu.train import step as step_lib2
+
+    ts = step_lib2.make_train_step(config, model, mesh, cameras=ds.cameras,
+                                   camtype=ds.camtype)
+    # call once to force compile; catch OOM compile errors.
+    try:
+        state, stats = ts(state, b, jax.random.PRNGKey(1), 0.5, grid)
+        jax.block_until_ready(stats["loss"])
+        print(json.dumps({"batch": batch, "max_samples": ms,
+                          "n_candidates": nc, "ok": True}))
+    except Exception as e:  # noqa: BLE001
+        msg = str(e)
+        idx = msg.find("Used ")
+        print(json.dumps({"batch": batch, "max_samples": ms,
+                          "n_candidates": nc, "ok": False,
+                          "err": msg[idx : idx + 60] if idx >= 0 else msg[:200]}))

@@ -163,6 +163,44 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
     from outdoor_nerf_depth_tpu.utils.logging import MetricWriter
 
     writer = MetricWriter(os.path.join(config.exp_dir, "logs"))
+
+    # In-loop test rendering (reference `mipnerf360/train.py:245-301`,
+    # `ddp_train_nerf.py:539-640`): every `train_render_every` steps render
+    # one held-out view, log PSNR/depth metrics and a summary image.
+    test_dataset = render_chunk = None
+    if config.train_render_every > 0:
+        test_dataset = build_dataset(config, "test")
+        render_chunk = step_lib.make_render_fn(config, model, mesh)
+
+    def render_test_view(step, state, occupancy):
+        idx = (step // config.train_render_every) % test_dataset.n_images
+        batch = test_dataset.image_batch(idx)
+        rendering = step_lib.render_image(
+            render_chunk, state.params, batch, mesh,
+            config.render_chunk_size, aux=occupancy,
+        )
+        m = metrics_lib.MetricSuite(compute_ssim=False)(
+            np.asarray(rendering["rgb"]),
+            np.asarray(batch.rgb),
+            pred_depth=np.asarray(rendering["distance_mean"]),
+            gt_depth=None if batch.depth_gt is None else np.asarray(batch.depth_gt),
+            depth_scale=config.depth_scale,
+        )
+        m = {k: v for k, v in m.items() if v is not None}
+        writer.scalars(step, m, prefix="train_render")
+        from outdoor_nerf_depth_tpu.utils import vis as vis_lib
+
+        panel = vis_lib.side_by_side(
+            np.asarray(rendering["rgb"]),
+            np.asarray(batch.rgb),
+            vis_lib.visualize_depth(
+                np.asarray(rendering["distance_mean"]) / config.depth_scale
+            ),
+        )
+        writer.image(step, "train_render/view", panel)
+        log_fn(json.dumps({"step": step, "test_view": idx,
+                           **{k: round(v, 4) for k, v in m.items()
+                              if v is not None}}))
     history = []
     gc.disable()
     t_last = time.perf_counter()
@@ -210,6 +248,12 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
             writer.scalars(step + 1, entry, prefix="train")
             t_last, rays_since = now, 0
             gc.collect()
+
+        if (
+            config.train_render_every > 0
+            and (step + 1) % config.train_render_every == 0
+        ):
+            render_test_view(step + 1, state, occupancy)
 
         if (step + 1) % config.checkpoint_every == 0 or step + 1 == max_steps:
             # Orbax coordinates multi-host saves itself; every process calls.
