@@ -147,8 +147,13 @@ class HashGridEncoding(nn.Module):
                 maxval=self.init_scale,
             ),
         )
-        return encode(
-            x, table.astype(self.compute_dtype), resolutions, table_size
+        # The gather (and its transpose scatter-add) stay f32: XLA's TPU
+        # fast-path scatter is f32-only — a bf16 table grad lowers to a
+        # serial while-loop over the full corner buffer (measured: 6.7 TB
+        # of HBM traffic per 8192-ray step). Only the output feature
+        # vector is cast for the MXU.
+        return encode(x, table, resolutions, table_size).astype(
+            self.compute_dtype
         )
 
 

@@ -182,11 +182,17 @@ def update_grid(
     decay: float = 0.95,
     n_per_cascade: int = 0,
     threshold: float = 0.01,
+    chunk: int = 131_072,
 ):
     """One grid refresh: decay everywhere, scatter-max new density samples.
 
     `density_fn(points[M, 3]) -> sigma[M]`. With `n_per_cascade=0`, refresh
     every cell (the reference's warmup behavior). Returns the new grid.
+
+    Full sweeps evaluate cascades*R^3 points; `chunk` bounds the hash-encode
+    intermediates (idx/weights/features per level*corner) by scanning fixed
+    slabs with `lax.map` — a full 128^3 sweep in one call otherwise needs
+    tens of GB of HBM for its encode temporaries.
     """
     c, n_cells = density_grid.shape
     resolution = int(round(n_cells ** (1.0 / 3.0)))
@@ -197,7 +203,16 @@ def update_grid(
         cells = sample_update_cells(rng_cells, density_grid, n_per_cascade, threshold)
 
     pts = cell_centers(rng_jitter, cells, scale, resolution)  # [C, M, 3]
-    sigma = density_fn(pts.reshape(-1, 3)).reshape(cells.shape)
+    flat_pts = pts.reshape(-1, 3)
+    n_pts = flat_pts.shape[0]
+    if n_pts > chunk:
+        pad = (-n_pts) % chunk
+        padded = jnp.pad(flat_pts, ((0, pad), (0, 0)))
+        slabs = padded.reshape(-1, chunk, 3)
+        sigma = jax.lax.map(density_fn, slabs).reshape(-1)[:n_pts]
+    else:
+        sigma = density_fn(flat_pts)
+    sigma = sigma.reshape(cells.shape)
 
     decayed = density_grid * decay
     cascade_idx = jnp.broadcast_to(jnp.arange(c)[:, None], cells.shape)
