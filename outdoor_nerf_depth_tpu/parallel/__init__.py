@@ -14,6 +14,16 @@ from outdoor_nerf_depth_tpu.parallel.mesh import (
     make_mesh,
     replicated,
     shard_batch,
+    shard_batch_stack,
+    stacked_batch_sharding,
 )
 
-__all__ = ["DATA_AXIS", "batch_sharding", "make_mesh", "replicated", "shard_batch"]
+__all__ = [
+    "DATA_AXIS",
+    "batch_sharding",
+    "make_mesh",
+    "replicated",
+    "shard_batch",
+    "shard_batch_stack",
+    "stacked_batch_sharding",
+]

@@ -29,6 +29,12 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """K-step batch stacks: leading axis = scan steps (unsharded), axis 1 =
+    rays split across the data axis (for `make_multi_train_step`)."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -55,3 +61,22 @@ def shard_batch(batch, mesh: Mesh):
         return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def shard_batch_stack(batches, mesh: Mesh):
+    """Stack K host batches on a new leading axis and place them on device
+    with rays (axis 1) sharded — the input contract of
+    `make_multi_train_step`. Multi-host assembly mirrors `shard_batch`."""
+    sharding = stacked_batch_sharding(mesh)
+    n_proc = jax.process_count()
+
+    def put(*xs):
+        if xs[0] is None:
+            return None
+        x = np.stack([np.asarray(v) for v in xs])
+        if n_proc == 1:
+            return jax.device_put(x, sharding)
+        global_shape = (x.shape[0], x.shape[1] * n_proc) + x.shape[2:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree_util.tree_map(put, *batches)

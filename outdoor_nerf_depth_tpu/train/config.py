@@ -91,6 +91,11 @@ class Config:
     # (lax.scan), accumulate gradients, apply adam once. Peak activation
     # memory scales 1/K — the lever for ray batches past the HBM ceiling.
     grad_accum_steps: int = 1
+    # Dispatch fusion: run K optimizer steps inside ONE jitted program
+    # (lax.scan over K pre-staged batches). Amortizes per-dispatch host
+    # latency — the bottleneck at small reference batch sizes (1024 rays) —
+    # without changing the math: K sequential fwd+bwd+adam updates.
+    steps_per_dispatch: int = 1
 
     # -- depth bookkeeping
     depth_scale: float = 1.0  # filled by the loader (pose-normalization scale)

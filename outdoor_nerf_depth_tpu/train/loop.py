@@ -201,18 +201,31 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
         log_fn(json.dumps({"step": step, "test_view": idx,
                            **{k: round(v, 4) for k, v in m.items()
                               if v is not None}}))
+    # Dispatch fusion: K steps per jitted call (lax.scan) — amortizes host
+    # dispatch latency at small batch sizes. Cadenced side effects (print,
+    # render, ckpt, occupancy updates) fire on boundary *crossings*, so any
+    # cadence works, at superstep granularity.
+    n_fuse = max(1, config.steps_per_dispatch)
+    multi_step = None
+    if n_fuse > 1:
+        multi_step = step_lib.make_multi_train_step(
+            config, model, mesh, cameras=dataset.cameras, camtype=dataset.camtype
+        )
+
+    def crossed(before, after, every):
+        return every > 0 and (after // every) > (before // every)
+
     history = []
     gc.disable()
     t_last = time.perf_counter()
     rays_since = 0
-    for step in range(start_step, max_steps):
-        if config.profile_start_step and step == config.profile_start_step:
+    step = start_step
+    while step < max_steps:
+        if config.profile_start_step and step <= config.profile_start_step < step + n_fuse:
             jax.profiler.start_trace(os.path.join(config.exp_dir, "trace"))
-        if config.profile_start_step and step == (
-            config.profile_start_step + config.profile_num_steps
-        ):
+        prof_stop = config.profile_start_step + config.profile_num_steps
+        if config.profile_start_step and step <= prof_stop < step + n_fuse and step > config.profile_start_step:
             jax.profiler.stop_trace()
-        batch = parallel.shard_batch(next(batches), mesh)
         step_rng = jax.random.fold_in(rng, step)
         if occ_update is not None and step % config.occupancy_update_every == 0:
             occupancy = occ_update(
@@ -221,12 +234,30 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
                 jax.random.fold_in(step_rng, 7),
                 step < config.occupancy_warmup_steps,
             )
-        state, stats = train_step(
-            state, batch, step_rng, step / max_steps, occupancy
-        )
-        rays_since += config.batch_size
+        k = min(n_fuse, max_steps - step)
+        if k == 1 or multi_step is None:
+            batch = parallel.shard_batch(next(batches), mesh)
+            state, stats = train_step(
+                state, batch, step_rng, step / max_steps, occupancy
+            )
+            k = 1
+        else:
+            import jax.numpy as jnp
 
-        if (step + 1) % config.print_every == 0 or step + 1 == max_steps:
+            stacked = parallel.shard_batch_stack(
+                [next(batches) for _ in range(k)], mesh
+            )
+            rngs = jnp.stack(
+                [jax.random.fold_in(rng, step + i) for i in range(k)]
+            )
+            fracs = jnp.asarray(
+                [(step + i) / max_steps for i in range(k)], jnp.float32
+            )
+            state, stats = multi_step(state, stacked, rngs, fracs, occupancy)
+        prev_step, step = step, step + k
+        rays_since += config.batch_size * k
+
+        if crossed(prev_step, step, config.print_every) or step == max_steps:
             stats = jax.device_get(stats)
             now = time.perf_counter()
             n_chips = jax.device_count()

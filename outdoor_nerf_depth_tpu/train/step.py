@@ -202,15 +202,10 @@ def _total_loss(config: Config, model, batch, renderings, ray_history, rays):
     return loss_terms, stats
 
 
-def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspective"):
-    """Compile the sharded train step.
-
-    Returns step(state, batch, rng, train_frac) -> (state, stats). `state` is
-    replicated and donated; `batch` leaves are sharded on the data axis. When
-    `cameras` is given, batches may carry `Pixels` and rays are cast on
-    device inside the step (the reference's `cast_rays_in_train_step` fast
-    path, now inside the jit so it fuses with the model).
-    """
+def _build_step_fn(config: Config, model, cameras=None, camtype="perspective"):
+    """The un-jitted train step: (state, batch, rng, train_frac, aux) ->
+    (state, stats). Shared by `make_train_step` (one step per dispatch) and
+    `make_multi_train_step` (lax.scan over K steps per dispatch)."""
     cams_dev = None
     if cameras is not None:
         cams_dev = tuple(
@@ -327,6 +322,19 @@ def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspect
         new_state = state.apply_gradients(grads=grad)
         return new_state, stats
 
+    return step
+
+
+def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspective"):
+    """Compile the sharded train step.
+
+    Returns step(state, batch, rng, train_frac) -> (state, stats). `state` is
+    replicated and donated; `batch` leaves are sharded on the data axis. When
+    `cameras` is given, batches may carry `Pixels` and rays are cast on
+    device inside the step (the reference's `cast_rays_in_train_step` fast
+    path, now inside the jit so it fuses with the model).
+    """
+    step = _build_step_fn(config, model, cameras, camtype)
     repl = parallel.replicated(mesh)
     data = parallel.batch_sharding(mesh)
     # `data` acts as a pytree prefix: every leaf of the batch shards its
@@ -340,6 +348,48 @@ def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspect
 
     def call(state, batch, rng, train_frac, aux=None):
         return jitted(state, batch, rng, train_frac, aux)
+
+    return call
+
+
+def make_multi_train_step(
+    config: Config, model, mesh, cameras=None, camtype="perspective"
+):
+    """Compile K optimizer steps fused into ONE dispatch (lax.scan).
+
+    At the reference's KITTI budget (1024 rays/step) a single step is
+    host-dispatch-latency bound on TPU; scanning K steps inside one XLA
+    program amortizes that latency while keeping the math bit-identical to K
+    sequential `make_train_step` calls (same per-step rngs, batches, fracs).
+
+    Returns multi(state, batches, rngs, train_fracs, aux=None) where every
+    leaf of `batches` is stacked on a leading K axis (ray axis = axis 1,
+    sharded over the mesh), `rngs` is [K] PRNG keys, `train_fracs` is a [K]
+    float array. Stats returned are the final step's.
+    """
+    step = _build_step_fn(config, model, cameras, camtype)
+
+    def multi(state, batches, rngs, train_fracs, aux=None):
+        def body(carry, inp):
+            b, key, frac = inp
+            new_carry, stats = step(carry, b, key, frac, aux)
+            return new_carry, stats
+
+        state, stats_stack = jax.lax.scan(body, state, (batches, rngs, train_fracs))
+        stats = jax.tree_util.tree_map(lambda s: s[-1], stats_stack)
+        return state, stats
+
+    repl = parallel.replicated(mesh)
+    data_stack = parallel.stacked_batch_sharding(mesh)
+    jitted = jax.jit(
+        multi,
+        in_shardings=(repl, data_stack, repl, repl, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+    def call(state, batches, rngs, train_fracs, aux=None):
+        return jitted(state, batches, rngs, train_fracs, aux)
 
     return call
 
