@@ -21,8 +21,12 @@ import time
 
 REF_RAYS_PER_SEC_GPU = 3500.0  # documented estimate; see module docstring
 BATCH = 1024
-WARMUP_STEPS = 3
-MEASURE_STEPS = 20
+# Production dispatch fusion (train loop `steps_per_dispatch`): K optimizer
+# steps lax.scan'd into one XLA program. At this batch size it buys ~8% by
+# amortizing host dispatch; the math is identical to K sequential steps.
+STEPS_PER_DISPATCH = 8
+WARMUP_DISPATCHES = 1
+MEASURE_DISPATCHES = 4
 
 
 def main():
@@ -59,30 +63,34 @@ def main():
     mesh = parallel.make_mesh()
     n_chips = len(mesh.devices.flat)
     model, state = step_lib.init_state(config, jax.random.PRNGKey(0))
-    train_step = step_lib.make_train_step(
+    import jax.numpy as jnp
+
+    k = STEPS_PER_DISPATCH
+    multi_step = step_lib.make_multi_train_step(
         config, model, mesh, cameras=dataset.cameras, camtype=dataset.camtype
     )
     rng = jax.random.PRNGKey(1)
+    stacked = parallel.shard_batch_stack(
+        [dataset.sample_batch() for _ in range(k)], mesh
+    )
+    fracs = jnp.full((k,), 0.5, jnp.float32)
 
-    batches = [
-        parallel.shard_batch(dataset.sample_batch(), mesh) for _ in range(4)
-    ]
-
-    for i in range(WARMUP_STEPS):
-        state, stats = train_step(
-            state, batches[i % len(batches)], jax.random.fold_in(rng, i), 0.5
+    def rngs_for(dispatch):
+        return jnp.stack(
+            [jax.random.fold_in(rng, dispatch * k + i) for i in range(k)]
         )
+
+    for d in range(WARMUP_DISPATCHES):
+        state, stats = multi_step(state, stacked, rngs_for(d), fracs)
     jax.block_until_ready(stats["loss"])
 
     t0 = time.perf_counter()
-    for i in range(MEASURE_STEPS):
-        state, stats = train_step(
-            state, batches[i % len(batches)], jax.random.fold_in(rng, 100 + i), 0.5
-        )
+    for d in range(MEASURE_DISPATCHES):
+        state, stats = multi_step(state, stacked, rngs_for(100 + d), fracs)
     jax.block_until_ready(stats["loss"])
     dt = time.perf_counter() - t0
 
-    rays_per_sec = BATCH * MEASURE_STEPS / dt
+    rays_per_sec = BATCH * k * MEASURE_DISPATCHES / dt
     per_chip = rays_per_sec / n_chips
     print(
         json.dumps(

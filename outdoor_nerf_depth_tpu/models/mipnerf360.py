@@ -172,7 +172,9 @@ class ProposalModel(nn.Module):
                 glo_vec=None if is_prop else glo_vec,
             )
 
-            weights, _, _ = volren.alpha_composite_weights(
+            # Weights-only fast path: Pallas MXU kernel on TPU, fused
+            # cumsum elsewhere (`ops.volren.composite_weights`).
+            weights = volren.composite_weights(
                 field["density"],
                 tdist,
                 rays.directions,

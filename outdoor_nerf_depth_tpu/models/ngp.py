@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from outdoor_nerf_depth_tpu.ops import hashgrid, occupancy as occ
+from outdoor_nerf_depth_tpu.ops import hashgrid, occupancy as occ, volren
 
 
 class HashGridField(nn.Module):
@@ -201,14 +201,10 @@ class HashGridModel(nn.Module):
         sigma = jnp.where(valid, sigma, 0.0)
 
         tau = sigma * dt
-        alpha = 1.0 - jnp.exp(-tau)
-        trans = jnp.exp(
-            -jnp.concatenate(
-                [jnp.zeros_like(tau[..., :1]), jnp.cumsum(tau[..., :-1], -1)],
-                axis=-1,
-            )
-        )
-        weights = alpha * trans
+        # Fused compositing weights: Pallas MXU kernel on TPU (the analog of
+        # the reference's `composite_train_fw/bw` CUDA kernels), cumsum
+        # formulation elsewhere.
+        weights = volren.weights_from_optical_depth(tau)
 
         acc = jnp.sum(weights, axis=-1)
         lo, hi = self.bg_intensity_range
