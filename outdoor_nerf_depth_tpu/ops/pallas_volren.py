@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import NamedSharding, PartitionSpec
 
 _TILE_R = 128  # rays per grid program
 _LANE = 128  # TPU lane width; S is padded to a multiple of this
@@ -104,12 +106,15 @@ def _triangular(s_pad: int, strictly_upper: bool):
     return jnp.asarray(_triangular_np(s_pad, strictly_upper))
 
 
-def _run_fwd(tau, interpret):
+def _run_fwd(tau, su, interpret):
+    # `su` is the [s_pad, s_pad] strictly-upper ones matrix, passed in by the
+    # caller: custom_partitioning requires a const-free jaxpr, so the matrix
+    # must be an operand rather than a closure constant.
     n_rays, s = tau.shape
     tau_p, pad_s = _pad_to(tau, 1, _LANE)
     tau_p, pad_r = _pad_to(tau_p, 0, _TILE_R)
     s_pad = s + pad_s
-    su = _triangular(s_pad, strictly_upper=True)
+    assert su.shape == (s_pad, s_pad)
     grid = (tau_p.shape[0] // _TILE_R,)
     row_spec = pl.BlockSpec(
         (_TILE_R, s_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -136,7 +141,7 @@ def _run_fwd(tau, interpret):
     return w[:n_rays, :s], e[:n_rays, :s]
 
 
-def _run_bwd(g, w, e, interpret):
+def _run_bwd(g, w, e, sl, interpret):
     n_rays, s = g.shape
     args = []
     for x in (g, w, e):
@@ -144,7 +149,7 @@ def _run_bwd(g, w, e, interpret):
         x, _ = _pad_to(x, 0, _TILE_R)
         args.append(x)
     s_pad = s + pad_s
-    sl = _triangular(s_pad, strictly_upper=False)
+    assert sl.shape == (s_pad, s_pad)
     grid = (args[0].shape[0] // _TILE_R,)
     row_spec = pl.BlockSpec(
         (_TILE_R, s_pad), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -168,6 +173,67 @@ def _run_bwd(g, w, e, interpret):
     return dtau[:n_rays, :s]
 
 
+# --- multi-chip partitioning -------------------------------------------------
+#
+# pallas_call is opaque to GSPMD: under a multi-chip jit XLA would all-gather
+# the operands onto every chip before running the kernel. The op is trivially
+# row-parallel (each ray is independent), so declare that with
+# custom_partitioning: shard the ray axis, replicate the sample axis, run the
+# kernel per-shard with no collectives.
+
+
+def _row_sharding(mesh, sharding):
+    """Keep the caller's ray-axis sharding; force the sample axis replicated."""
+    try:
+        row = sharding.spec[0] if len(sharding.spec) else None
+    except AttributeError:  # non-Named shardings: replicate
+        row = None
+    return NamedSharding(mesh, PartitionSpec(row, None))
+
+
+def _def_row_partition(fn, n_rows, n_out):
+    """Declare `fn(row_arg_0.., matrix)` row-parallel over the first axis.
+
+    The first `n_rows` args are [R, S] per-ray tensors sharded on R; the last
+    arg is the small [S_pad, S_pad] triangular matrix, replicated.
+    """
+    f = custom_partitioning(fn)
+
+    def infer(mesh, arg_shapes, result_shape):
+        row = _row_sharding(mesh, arg_shapes[0].sharding)
+        return row if n_out == 1 else (row,) * n_out
+
+    def part(mesh, arg_shapes, result_shape):
+        row = _row_sharding(mesh, arg_shapes[0].sharding)
+        repl = NamedSharding(mesh, PartitionSpec(None, None))
+        outs = row if n_out == 1 else (row,) * n_out
+        return mesh, fn, outs, (row,) * n_rows + (repl,)
+
+    rule = (
+        ", ".join(["i j"] * n_rows)
+        + ", k l -> "
+        + ", ".join(["i j"] * n_out)
+    )
+    f.def_partition(
+        infer_sharding_from_operands=infer, partition=part, sharding_rule=rule
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=2)
+def _sharded_fwd(interpret):
+    return _def_row_partition(
+        lambda tau, su: _run_fwd(tau, su, interpret), n_rows=1, n_out=2
+    )
+
+
+@functools.lru_cache(maxsize=2)
+def _sharded_bwd(interpret):
+    return _def_row_partition(
+        lambda g, w, e, sl: _run_bwd(g, w, e, sl, interpret), n_rows=3, n_out=1
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def weights_from_tau(tau, interpret=False):
     """Compositing weights from metric optical depth. [..., S] -> [..., S].
@@ -186,7 +252,9 @@ def _weights_fwd_impl(tau, interpret):
     # inf (opaque background) would NaN the dense prefix matmul (inf * 0 in
     # masked-out entries); 1e4 already underflows exp(-tau) to exactly 0.
     flat = jnp.minimum(flat, 1e4)
-    w, e = _run_fwd(flat, interpret)
+    s_pad = flat.shape[-1] + (-flat.shape[-1]) % _LANE
+    su = _triangular(s_pad, strictly_upper=True)
+    w, e = _sharded_fwd(interpret)(flat, su)
     return w.reshape(shape), e
 
 
@@ -199,7 +267,9 @@ def _weights_fwd(tau, interpret):
 def _weights_bwd(interpret, residuals, g):
     w_flat, e, shape = residuals
     g_flat = g.reshape(-1, shape[-1]).astype(jnp.float32)
-    dtau = _run_bwd(g_flat, w_flat, e, interpret)
+    s_pad = shape[-1] + (-shape[-1]) % _LANE
+    sl = _triangular(s_pad, strictly_upper=False)
+    dtau = _sharded_bwd(interpret)(g_flat, w_flat, e, sl)
     return (dtau.reshape(shape),)
 
 

@@ -66,6 +66,42 @@ def test_gradient_early_termination_region():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_multichip_sharded_jit():
+    # The custom_partitioning rule: under a multi-device jit with the ray
+    # axis sharded, the kernel runs per-shard (rows/n_dev each), outputs keep
+    # the input sharding, and fwd+grad match the jnp reference.
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs a multi-device (virtual CPU) mesh")
+    mesh = Mesh(np.array(devs).reshape(-1), ("data",))
+    tau = _random_tau((16 * len(devs), 40), seed=7)
+    tau_sharded = jax.device_put(tau, NamedSharding(mesh, P("data", None)))
+    coefs = jnp.asarray(
+        np.random.RandomState(8).randn(*tau.shape), jnp.float32
+    )
+    coefs_sharded = jax.device_put(coefs, NamedSharding(mesh, P("data", None)))
+
+    @jax.jit
+    def fwd_and_grad(t, c):
+        w = pallas_volren.weights_from_tau(t, True)
+        g = jax.grad(
+            lambda tt: jnp.sum(c * pallas_volren.weights_from_tau(tt, True))
+        )(t)
+        return w, g
+
+    w, g = fwd_and_grad(tau_sharded, coefs_sharded)
+    # P("data") and P("data", None) are the same sharding, different spellings.
+    assert tuple(w.sharding.spec)[:1] == ("data",)
+    w_want = pallas_volren.weights_from_tau_reference(tau)
+    g_want = jax.grad(
+        lambda tt: jnp.sum(coefs * pallas_volren.weights_from_tau_reference(tt))
+    )(tau)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_want), atol=1e-5)
+
+
 def test_padding_is_invisible():
     # Non-aligned S and ray counts exercise the internal pad/slice.
     tau = _random_tau((7, 33), seed=5)
