@@ -25,8 +25,8 @@ BATCH = 1024
 # steps lax.scan'd into one XLA program. At this batch size it buys ~8% by
 # amortizing host dispatch; the math is identical to K sequential steps.
 STEPS_PER_DISPATCH = 8
-WARMUP_DISPATCHES = 1
-MEASURE_DISPATCHES = 4
+WARMUP_DISPATCHES = 2
+MEASURE_DISPATCHES = 8
 
 
 def main():
@@ -63,6 +63,9 @@ def main():
     mesh = parallel.make_mesh()
     n_chips = len(mesh.devices.flat)
     model, state = step_lib.init_state(config, jax.random.PRNGKey(0))
+    # One compile only: commit the state to the mesh before the first call
+    # (see parallel.put_replicated) so warmup fully covers compilation.
+    state = parallel.put_replicated(state, mesh)
     import jax.numpy as jnp
 
     k = STEPS_PER_DISPATCH

@@ -12,6 +12,7 @@ from outdoor_nerf_depth_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
     make_mesh,
+    put_replicated,
     replicated,
     shard_batch,
     shard_batch_stack,
@@ -22,6 +23,7 @@ __all__ = [
     "DATA_AXIS",
     "batch_sharding",
     "make_mesh",
+    "put_replicated",
     "replicated",
     "shard_batch",
     "shard_batch_stack",

@@ -80,3 +80,19 @@ def shard_batch_stack(batches, mesh: Mesh):
         return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
     return jax.tree_util.tree_map(put, *batches)
+
+
+def put_replicated(tree, mesh: Mesh):
+    """Commit every leaf of `tree` to the replicated sharding on `mesh`.
+
+    Freshly-initialized train state (and occupancy grids) live on the default
+    device with NO mesh context in their avals; the first jitted train step
+    returns arrays whose avals carry the mesh. Without this commit the second
+    step call therefore misses the jit cache and recompiles the whole program
+    (tens of seconds at production sizes). Committing up front makes call #1
+    and call #N share one cache key — exactly one compile.
+    """
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: None if x is None else jax.device_put(x, sharding), tree
+    )

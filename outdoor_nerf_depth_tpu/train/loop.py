@@ -145,6 +145,11 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
     template = {"state": state, "occupancy": occupancy}
     restored, start_step = ckpt.restore(template)
     state, occupancy = restored["state"], restored["occupancy"]
+    # Commit to the mesh BEFORE the first step: otherwise call #2's avals
+    # (now carrying the mesh context) miss the jit cache and recompile the
+    # whole train program a second time (~14 s at production sizes).
+    state = parallel.put_replicated(state, mesh)
+    occupancy = parallel.put_replicated(occupancy, mesh)
 
     sample_fn = dataset.sample_batch
     if config.use_native_batcher and getattr(dataset, "pixtocams", None) is not None:

@@ -90,6 +90,25 @@ class TestShardedTrainStep:
         assert len(batch.rgb.addressable_shards) == 8
         assert batch.rgb.addressable_shards[0].data.shape[0] == 8  # 64 / 8
 
+    def test_committed_state_avals_are_step_stable(self, setup):
+        # No-recompile property: after parallel.put_replicated, the state's
+        # avals (incl. the mesh context jax 0.9 bakes into types) must be
+        # IDENTICAL to the step output's, so call #2 hits the jit cache.
+        # Without the commit, every training run paid a second full compile.
+        config, dataset, mesh, model, state, train_step = setup
+        state = parallel.put_replicated(self._fresh(state), mesh)
+        batch = parallel.shard_batch(dataset.sample_batch(), mesh)
+        state2, _ = train_step(state, batch, jax.random.PRNGKey(9), 0.5)
+        leaves_in = jax.tree_util.tree_leaves_with_path(state)
+        leaves_out = jax.tree_util.tree_leaves_with_path(state2)
+        assert len(leaves_in) == len(leaves_out)
+        mismatches = [
+            (jax.tree_util.keystr(p), jax.typeof(a), jax.typeof(b))
+            for (p, a), (_, b) in zip(leaves_in, leaves_out)
+            if jax.typeof(a) != jax.typeof(b)
+        ]
+        assert not mismatches, mismatches
+
     def test_stats_contain_loss_terms(self, setup):
         config, dataset, mesh, model, state, train_step = setup
         batch = parallel.shard_batch(dataset.sample_batch(), mesh)
