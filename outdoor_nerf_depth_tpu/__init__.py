@@ -18,3 +18,34 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compilation_cache():
+    """Point XLA at an on-disk executable cache (opt out: ONDT_NO_XLA_CACHE).
+
+    TPU compiles of the full train step take minutes; caching serialized
+    executables makes every re-run of train/eval/bench after the first start
+    in seconds. Safe to set lazily here: jax only reads these options at
+    first compile, and a backend that doesn't support serialization simply
+    ignores the cache.
+    """
+    import os
+
+    if os.environ.get("ONDT_NO_XLA_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "ONDT_XLA_CACHE_DIR",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".xla_cache"),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compilation_cache()
