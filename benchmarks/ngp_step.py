@@ -9,6 +9,11 @@ whatever devices are attached.
   python benchmarks/ngp_step.py [batch=8192] [max_samples=64]
 """
 
+import outdoor_nerf_depth_tpu as _ondt
+
+_ondt.apply_platform_env()
+_ondt.enable_compilation_cache()
+
 import json
 import os
 import sys

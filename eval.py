@@ -7,6 +7,11 @@ Replaces `mipnerf360/eval.py`, `nerfplusplus/ddp_test_nerf.py`, and the
 shared `utils/eval.py` of the reference.
 """
 
+import outdoor_nerf_depth_tpu as _ondt
+
+_ondt.apply_platform_env()
+_ondt.enable_compilation_cache()
+
 import os
 import sys
 

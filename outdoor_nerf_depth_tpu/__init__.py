@@ -20,15 +20,41 @@ Layout:
 __version__ = "0.1.0"
 
 
-def _enable_persistent_compilation_cache():
+def apply_platform_env():
+    """Honor the JAX_PLATFORMS env var despite plugin pre-configuration.
+
+    On this image a TPU plugin pre-sets `jax_platforms=axon,cpu`, which makes
+    jax silently ignore the JAX_PLATFORMS environment variable. Entry points
+    call this before any backend query so `JAX_PLATFORMS=cpu python train.py`
+    behaves as documented.
+    """
+    import logging
+    import os
+
+    val = os.environ.get("JAX_PLATFORMS")
+    if not val:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", val)
+    except Exception as e:  # pragma: no cover
+        logging.warning("could not apply JAX_PLATFORMS=%s: %s", val, e)
+
+
+def enable_compilation_cache(cache_dir=None):
     """Point XLA at an on-disk executable cache (opt out: ONDT_NO_XLA_CACHE).
 
     TPU compiles of the full train step take minutes; caching serialized
     executables makes every re-run of train/eval/bench after the first start
-    in seconds. Safe to set lazily here: jax only reads these options at
-    first compile, and a backend that doesn't support serialization simply
-    ignores the cache.
+    in seconds. Called explicitly by the CLI/driver entry points (train.py,
+    bench.py, eval.py, __graft_entry__.py, tests/conftest.py) — importing the
+    package has no jax-config side effects.
+
+    Cache location: `cache_dir` arg > ONDT_XLA_CACHE_DIR env > `.xla_cache`
+    at the repo root for an in-tree checkout > ~/.cache/ondt-xla otherwise.
     """
+    import logging
     import os
 
     if os.environ.get("ONDT_NO_XLA_CACHE"):
@@ -36,16 +62,19 @@ def _enable_persistent_compilation_cache():
     try:
         import jax
 
-        cache_dir = os.environ.get(
-            "ONDT_XLA_CACHE_DIR",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".xla_cache"),
-        )
+        if cache_dir is None:
+            cache_dir = os.environ.get("ONDT_XLA_CACHE_DIR")
+        if cache_dir is None:
+            pkg_parent = os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))
+            )
+            if os.path.isdir(os.path.join(pkg_parent, ".git")):
+                cache_dir = os.path.join(pkg_parent, ".xla_cache")
+            else:
+                cache_dir = os.path.expanduser("~/.cache/ondt-xla")
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # pragma: no cover - cache is best-effort
-        pass
-
-
-_enable_persistent_compilation_cache()
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        logging.warning("XLA compilation cache disabled: %s", e)

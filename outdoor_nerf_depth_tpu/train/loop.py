@@ -225,6 +225,12 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
     t_last = time.perf_counter()
     rays_since = 0
     step = start_step
+    # Occupancy refresh fires whenever the trained-step count reaches the
+    # next multiple of the cadence — robust to K-step dispatch fusion, where
+    # `step % every == 0` can be skipped forever (e.g. K=8, every=16 lands,
+    # but K=8, every=12 never hits step%12==0 after step 24).
+    occ_every = config.occupancy_update_every
+    next_occ = (step // occ_every) * occ_every if occ_update is not None else None
     while step < max_steps:
         if config.profile_start_step and step <= config.profile_start_step < step + n_fuse:
             jax.profiler.start_trace(os.path.join(config.exp_dir, "trace"))
@@ -232,13 +238,14 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
         if config.profile_start_step and step <= prof_stop < step + n_fuse and step > config.profile_start_step:
             jax.profiler.stop_trace()
         step_rng = jax.random.fold_in(rng, step)
-        if occ_update is not None and step % config.occupancy_update_every == 0:
+        if occ_update is not None and step >= next_occ:
             occupancy = occ_update(
                 state.params,
                 occupancy,
                 jax.random.fold_in(step_rng, 7),
                 step < config.occupancy_warmup_steps,
             )
+            next_occ = (step // occ_every + 1) * occ_every
         k = min(n_fuse, max_steps - step)
         if k == 1 or multi_step is None:
             batch = parallel.shard_batch(next(batches), mesh)
@@ -267,7 +274,7 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
             now = time.perf_counter()
             n_chips = jax.device_count()
             entry = {
-                "step": step + 1,
+                "step": step,
                 "loss": float(stats["loss"]),
                 "psnr": float(stats["psnr"]),
                 "rays_per_sec": rays_since / (now - t_last),
@@ -277,24 +284,31 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
                     f"loss_{k}": float(v)
                     for k, v in stats.get("loss_terms", {}).items()
                 },
+                # NGP marching parity counters when present (rm_s/vr_s).
+                **{
+                    k: float(stats[k])
+                    for k in ("rm_s", "vr_s")
+                    if k in stats
+                },
             }
             history.append(entry)
             log_fn(json.dumps({k: round(v, 5) if isinstance(v, float) else v
                                for k, v in entry.items()}))
-            writer.scalars(step + 1, entry, prefix="train")
+            writer.scalars(step, entry, prefix="train")
             t_last, rays_since = now, 0
             gc.collect()
 
-        if (
-            config.train_render_every > 0
-            and (step + 1) % config.train_render_every == 0
-        ):
-            render_test_view(step + 1, state, occupancy)
+        if crossed(prev_step, step, config.train_render_every):
+            render_test_view(step, state, occupancy)
 
-        if (step + 1) % config.checkpoint_every == 0 or step + 1 == max_steps:
+        # The checkpoint labeled N contains exactly N trained steps (resume
+        # restores start_step=N and continues at step N). `crossed` makes any
+        # cadence fire under K-step dispatch fusion; the final save triggers
+        # on the loop's exit value, which is always exactly max_steps.
+        if crossed(prev_step, step, config.checkpoint_every) or step == max_steps:
             # Orbax coordinates multi-host saves itself; every process calls.
             ckpt.save(
-                step + 1,
+                step,
                 jax.device_get({"state": state, "occupancy": occupancy}),
             )
 

@@ -11,6 +11,11 @@ Replaces the reference's per-net `save_disp.py` / `evaluate.py` drivers
 (shape smoke only — train or load weights for real priors).
 """
 
+import outdoor_nerf_depth_tpu as _ondt
+
+_ondt.apply_platform_env()
+_ondt.enable_compilation_cache()
+
 import argparse
 import sys
 

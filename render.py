@@ -10,6 +10,11 @@ to `exp_dir/path_renders/`, and stitches an mp4 when imageio+ffmpeg are
 available.
 """
 
+import outdoor_nerf_depth_tpu as _ondt
+
+_ondt.apply_platform_env()
+_ondt.enable_compilation_cache()
+
 import os
 import sys
 

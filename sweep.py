@@ -12,6 +12,11 @@ Each grid point trains into `exp_dir/<name>` and the summary table of all
 eval means is written to `exp_dir/sweep_summary.json`.
 """
 
+import outdoor_nerf_depth_tpu as _ondt
+
+_ondt.apply_platform_env()
+_ondt.enable_compilation_cache()
+
 import itertools
 import json
 import os

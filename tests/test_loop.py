@@ -48,3 +48,87 @@ class TestTrainLoop:
         # Resume from the saved checkpoint: loop is a no-op at max_steps.
         state2, history2, _ = train(config, log_fn=lambda s: None)
         assert history2 == []
+
+    def test_dispatch_fusion_cadences(self, tmp_path):
+        """Regression: with steps_per_dispatch=8, render/ckpt/print cadences
+        that never align with superstep boundaries must still fire on every
+        boundary *crossing*, and the final checkpoint must be saved with a
+        label equal to the number of trained steps (VERDICT r1 weak #1)."""
+        config = Config(
+            model="mipnerf360",
+            model_params=TINY,
+            dataset="synthetic",
+            batch_size=32,
+            max_steps=16,
+            steps_per_dispatch=8,
+            print_every=5,
+            checkpoint_every=4,
+            train_render_every=6,
+            render_chunk_size=64,
+            lr_delay_steps=0,
+            exp_dir=str(tmp_path / "exp"),
+        )
+        lines = []
+        state, history, _ = train(config, log_fn=lambda s: lines.append(s))
+        # print_every=5 crossings at supersteps 8 and 16.
+        assert [h["step"] for h in history] == [8, 16]
+        # train_render_every=6 crossings (6 at superstep 8, 12 at 16).
+        renders = [json.loads(l) for l in lines if "test_view" in l]
+        assert [r["step"] for r in renders] == [8, 16]
+        # checkpoint_every=4: crossings at 8 and 16; final label == max_steps.
+        import orbax.checkpoint as ocp
+
+        mgr = ocp.CheckpointManager(
+            os.path.join(config.exp_dir, "checkpoints")
+        )
+        assert sorted(mgr.all_steps()) == [8, 16]
+        mgr.close()
+        # Resume is a no-op: the final checkpoint really holds 16 steps.
+        _, history2, _ = train(config, log_fn=lambda s: None)
+        assert history2 == []
+
+    def test_occupancy_refresh_cadence_under_fusion(self, tmp_path, monkeypatch):
+        """Occupancy refreshes must fire once per cadence window even when
+        dispatch fusion strides past `step % every == 0` points."""
+        from outdoor_nerf_depth_tpu.train import step as step_lib
+
+        fired = []
+        orig = step_lib.make_occupancy_update_fn
+
+        def wrapped_factory(config, model, mesh):
+            fn = orig(config, model, mesh)
+            if fn is None:
+                return None
+
+            def counting(params, grid, rng, warmup):
+                fired.append(bool(warmup))
+                return fn(params, grid, rng, warmup)
+
+            return counting
+
+        monkeypatch.setattr(step_lib, "make_occupancy_update_fn", wrapped_factory)
+        config = Config(
+            model="ngp",
+            model_params=dict(
+                scale=0.5, max_samples=8, n_candidates=32, grid_resolution=8,
+                field_params=dict(n_levels=2, log2_table_size=10,
+                                  base_resolution=4, max_resolution=16,
+                                  hidden_width=16, geo_features=7),
+            ),
+            dataset="synthetic",
+            batch_size=32,
+            max_steps=8,
+            steps_per_dispatch=4,
+            occupancy_update_every=3,
+            occupancy_warmup_steps=2,
+            occupancy_cells_per_update=64,
+            interlevel_loss_mult=0.0,
+            print_every=8,
+            checkpoint_every=8,
+            lr_delay_steps=0,
+            exp_dir=str(tmp_path / "exp"),
+        )
+        train(config, log_fn=lambda s: None)
+        # Fires at trained-step counts 0 (warmup) and 4 (window [3,6) crossed);
+        # the pre-fix `step % 3 == 0` check fires only at 0.
+        assert fired == [True, False]

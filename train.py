@@ -5,6 +5,11 @@ Replaces the reference's three training drivers
 `ngp-depth/train.py`) with one entry point over the unified config.
 """
 
+import outdoor_nerf_depth_tpu as _ondt
+
+_ondt.apply_platform_env()
+_ondt.enable_compilation_cache()
+
 import sys
 
 

@@ -9,6 +9,11 @@ Replaces the reference's four training drivers (`CFNet/main.py`,
 loop over the folder-layout datasets in `depth_priors/datasets.py`.
 """
 
+import outdoor_nerf_depth_tpu as _ondt
+
+_ondt.apply_platform_env()
+_ondt.enable_compilation_cache()
+
 import argparse
 import sys
 import time

@@ -9,6 +9,11 @@ arrow keys to pan; renders color|depth side by side at interactive
 resolution. The `OrbitCamera` math is importable and unit-tested headless.
 """
 
+import outdoor_nerf_depth_tpu as _ondt
+
+_ondt.apply_platform_env()
+_ondt.enable_compilation_cache()
+
 import os
 import sys
 
