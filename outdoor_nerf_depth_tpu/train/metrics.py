@@ -137,12 +137,27 @@ def depth_metrics(
 
 
 class MetricSuite:
-    """Jitted PSNR/SSIM + depth metrics over full rendered images."""
+    """Jitted PSNR/SSIM + depth metrics over full rendered images.
 
-    def __init__(self, compute_ssim: bool = True, compute_lpips: bool = False):
+    `compute_lpips=True` builds the native-JAX LPIPS (train/lpips.py) and
+    raises a loud ValueError at construction when the weights file is
+    missing — a silent no-lpips fallback can't masquerade as a computed
+    metric (the reference always reports LPIPS: `utils/eval.py:24-64`).
+    """
+
+    def __init__(
+        self,
+        compute_ssim: bool = True,
+        compute_lpips: bool = False,
+        lpips_weights: Optional[str] = None,
+    ):
         self._psnr = jax.jit(psnr)
         self._ssim = jax.jit(ssim) if compute_ssim else None
-        self._lpips = _make_lpips() if compute_lpips else None
+        self._lpips = None
+        if compute_lpips:
+            from outdoor_nerf_depth_tpu.train import lpips as lpips_lib
+
+            self._lpips = lpips_lib.make_lpips_fn(lpips_weights)
 
     def __call__(self, pred_rgb, gt_rgb, pred_depth=None, gt_depth=None, depth_scale=1.0):
         out = {"psnr": float(self._psnr(pred_rgb, gt_rgb))}
@@ -162,25 +177,3 @@ class MetricSuite:
         return out
 
 
-def _make_lpips():
-    """LPIPS(VGG) via torch if available; None-safe fallback otherwise."""
-    try:
-        import torch
-
-        # torchmetrics ships a self-contained LPIPS; torch runs CPU-only here.
-        from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity
-
-        lpips = LearnedPerceptualImagePatchSimilarity(net_type="vgg", normalize=True)
-
-        def compute(pred, gt):
-            import numpy as np
-
-            to_t = lambda x: torch.from_numpy(
-                np.asarray(jnp.clip(x, 0, 1), dtype=np.float32)
-            ).permute(2, 0, 1)[None]
-            with torch.no_grad():
-                return float(lpips(to_t(pred), to_t(gt)))
-
-        return compute
-    except Exception:
-        return None
