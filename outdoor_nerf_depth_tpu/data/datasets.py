@@ -253,6 +253,132 @@ class SyntheticDataset(RayDataset):
         self._finalize()
 
 
+class SphereSceneDataset(RayDataset):
+    """Deterministic analytic 3D scene rendered by closed-form ray casting.
+
+    Unlike `SyntheticDataset` (random images, not multi-view-consistent),
+    this is a real scene — shaded spheres over a ground disk, black
+    background — so a NeRF can and must fit it: the fixture behind
+    `quality_gate.py`'s PSNR/depth-RMSE thresholds. Geometry fits inside
+    the unit sphere (NeRF++-compatible) and the [-0.5, 0.5] cube (NGP
+    scale=0.5); cameras ring at radius 0.95 (origins inside the unit
+    sphere). Depths are exact; background pixels carry invalid depth.
+
+    Plays the role of the reference's trainable synthetic fixtures
+    (Blender scenes) without data on disk.
+    """
+
+    def __init__(
+        self,
+        split: str = "train",
+        global_batch_size: int = 128,
+        n_images: int = 24,
+        height: int = 64,
+        width: int = 96,
+        cast_on_device: bool = True,
+    ):
+        super().__init__(split, global_batch_size, cast_on_device)
+        # -- scene definition (fully deterministic)
+        self._centers = np.array(
+            [[0.18, 0.0, -0.05], [-0.15, 0.14, -0.1], [-0.02, -0.18, 0.02]],
+            np.float32,
+        )
+        self._radii = np.array([0.16, 0.13, 0.11], np.float32)
+        self._colors = np.array(
+            [[0.85, 0.25, 0.2], [0.2, 0.7, 0.85], [0.9, 0.8, 0.25]],
+            np.float32,
+        )
+        self._ground_z = -0.25
+        self._ground_r = 0.45
+        self._light = np.array([0.45, -0.3, 0.84], np.float32)
+        self._light /= np.linalg.norm(self._light)
+
+        idx = split_indices(n_images, split)
+        poses = []
+        for i in range(n_images):
+            ang = 2 * np.pi * i / n_images
+            pos = np.array(
+                [0.9 * np.cos(ang), 0.9 * np.sin(ang), 0.3], np.float32
+            )
+            poses.append(
+                cameras_lib.view_matrix(pos, np.array([0.0, 0, 1.0]), pos)
+            )
+        all_poses = np.stack(poses).astype(np.float32)
+        self.camtoworlds = all_poses[idx]
+        self.pixtocams = cameras_lib.pinhole_pixtocam(
+            focal=width * 0.9, width=width, height=height
+        ).astype(np.float32)
+        self.near, self.far = 0.05, 4.0
+
+        images, depths = [], []
+        for c2w in self.camtoworlds:
+            rgb, depth = self._trace(c2w, height, width)
+            images.append(rgb)
+            depths.append(depth)
+        self.images = np.stack(images)
+        self.depth_gt = np.stack(depths)
+        self.depth_sup = self.depth_gt.copy()
+        self._finalize()
+
+    def _trace(self, c2w, height, width):
+        px, py = cameras_lib.pixel_grid(width, height)
+        pixels = rays_lib.Pixels(
+            pix_x=px.astype(np.float32),
+            pix_y=py.astype(np.float32),
+            cam_idx=np.zeros(px.shape + (1,), np.int32),
+            lossmult=np.ones(px.shape + (1,), np.float32),
+            near=np.full(px.shape + (1,), self.near, np.float32),
+            far=np.full(px.shape + (1,), self.far, np.float32),
+        )
+        rays = cameras_lib.cast_pixels(
+            pixels, (self.pixtocams, c2w[None], None), "perspective"
+        )
+        o = np.asarray(rays.origins, np.float32)
+        d = np.asarray(rays.viewdirs, np.float32)
+
+        t_hit = np.full(px.shape, np.inf, np.float32)
+        rgb = np.zeros(px.shape + (3,), np.float32)
+
+        # Spheres: nearest positive root of |o + t d - c|^2 = r^2.
+        for c, r, col in zip(self._centers, self._radii, self._colors):
+            oc = o - c
+            b = np.sum(oc * d, -1)
+            disc = b**2 - (np.sum(oc**2, -1) - r**2)
+            valid = disc > 0
+            t = -b - np.sqrt(np.maximum(disc, 0.0))
+            valid &= (t > self.near) & (t < t_hit)
+            normal = (o + t[..., None] * d - c) / r
+            shade = 0.35 + 0.65 * np.maximum(
+                0.0, np.sum(normal * self._light, -1)
+            )
+            rgb = np.where(valid[..., None], col * shade[..., None], rgb)
+            t_hit = np.where(valid, t, t_hit)
+
+        # Ground disk at z = ground_z, radius ground_r, smooth albedo.
+        tz = (self._ground_z - o[..., 2]) / np.where(
+            np.abs(d[..., 2]) < 1e-8, 1e-8, d[..., 2]
+        )
+        hit_pt = o + tz[..., None] * d
+        on_disk = (
+            (tz > self.near)
+            & (tz < t_hit)
+            & (np.linalg.norm(hit_pt[..., :2], axis=-1) < self._ground_r)
+        )
+        albedo = np.stack(
+            [
+                0.45 + 0.35 * hit_pt[..., 0] / self._ground_r,
+                0.5 + 0.35 * hit_pt[..., 1] / self._ground_r,
+                np.full(tz.shape, 0.55, np.float32),
+            ],
+            -1,
+        )
+        rgb = np.where(on_disk[..., None], albedo * self._light[2], rgb)
+        t_hit = np.where(on_disk, tz, t_hit)
+
+        depth = np.where(np.isfinite(t_hit), t_hit, _INVALID_DEPTH)
+        return rgb.astype(np.float32), depth.astype(np.float32)
+
+
 class BlenderDataset(RayDataset):
     """Blender/NGP `transforms_{split}.json` synthetic scenes.
 

@@ -32,9 +32,18 @@ from outdoor_nerf_depth_tpu.ops.guided_conv import guided_local_conv
 
 
 class DepthCompletionNet(nn.Module):
-    """RGB-D ResNet encoder-decoder (std2019 style)."""
+    """RGB-D ResNet encoder-decoder at the std2019 reference depth.
 
-    base_features: int = 32
+    Matches the block structure of `std2019 .../model.py:69-205`: separate
+    RGB and depth stem convolutions concatenated into a joint feature
+    (conv1_img + conv1_d), a ResNet-34-style basic-block encoder
+    (`encoder_blocks` per stage, stride-2 between stages), and an
+    upsample decoder with encoder skips. `base_features=64` reproduces the
+    reference widths (64/128/256/512); tests shrink it.
+    """
+
+    base_features: int = 64
+    encoder_blocks: Tuple[int, ...] = (3, 4, 6, 3)  # ResNet-34 layout
     depth_scale_hint: float = 80.0  # normalizes sparse depth input
     dtype: Any = jnp.float32
 
@@ -47,25 +56,37 @@ class DepthCompletionNet(nn.Module):
         f = self.base_features
         d_in = (sparse_depth / self.depth_scale_hint)[..., None]
         valid = (sparse_depth > 0).astype(jnp.float32)[..., None]
-        x = jnp.concatenate([rgb, d_in, valid], axis=-1)
 
-        e0 = ConvBlock(f, kernel=5, dtype=self.dtype)(x)  # full res
-        e1 = ResBlock(f * 2, strides=2, dtype=self.dtype)(e0)  # 1/2
-        e1 = ResBlock(f * 2, dtype=self.dtype)(e1)
-        e2 = ResBlock(f * 4, strides=2, dtype=self.dtype)(e1)  # 1/4
-        e2 = ResBlock(f * 4, dtype=self.dtype)(e2)
-        e3 = ResBlock(f * 8, strides=2, dtype=self.dtype)(e2)  # 1/8
-        e3 = ResBlock(f * 8, dtype=self.dtype)(e3)
+        # Modality-specific stems (reference conv1_img 48ch / conv1_d 16ch,
+        # a 3:1 split of the stem width).
+        img_feat = ConvBlock(3 * f // 4, kernel=5, dtype=self.dtype)(rgb)
+        d_feat = ConvBlock(f - 3 * f // 4, kernel=5, dtype=self.dtype)(
+            jnp.concatenate([d_in, valid], axis=-1)
+        )
+        e0 = jnp.concatenate([img_feat, d_feat], axis=-1)  # full res, f ch
 
-        d2 = upsample2d(ConvBlock(f * 4, dtype=self.dtype)(e3))
-        d2 = d2[:, : e2.shape[1], : e2.shape[2]]
-        d2 = ConvBlock(f * 4, dtype=self.dtype)(jnp.concatenate([d2, e2], -1))
-        d1 = upsample2d(d2)[:, : e1.shape[1], : e1.shape[2]]
-        d1 = ConvBlock(f * 2, dtype=self.dtype)(jnp.concatenate([d1, e1], -1))
-        d0 = upsample2d(d1)[:, : e0.shape[1], : e0.shape[2]]
-        d0 = ConvBlock(f, dtype=self.dtype)(jnp.concatenate([d0, e0], -1))
+        # ResNet-34 basic-block stages at 1/2, 1/4, 1/8, 1/16.
+        skips = [e0]
+        x = e0
+        for stage, n_blocks in enumerate(self.encoder_blocks):
+            width = f * (2 ** min(stage, 3))
+            x = ResBlock(width, strides=2, dtype=self.dtype)(x)
+            for _ in range(n_blocks - 1):
+                x = ResBlock(width, dtype=self.dtype)(x)
+            skips.append(x)
 
-        out = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(d0)
+        # Decoder mirrors the encoder with skip concatenation.
+        x = skips[-1]
+        for stage in range(len(self.encoder_blocks) - 1, -1, -1):
+            width = f * (2 ** min(max(stage - 1, 0), 3))
+            skip = skips[stage]
+            x = upsample2d(ConvBlock(width, dtype=self.dtype)(x))
+            x = x[:, : skip.shape[1], : skip.shape[2]]
+            x = ConvBlock(width, dtype=self.dtype)(
+                jnp.concatenate([x, skip], -1)
+            )
+
+        out = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(x)
         return nn.relu(out[..., 0].astype(jnp.float32)) * self.depth_scale_hint
 
 
@@ -89,8 +110,45 @@ class _GuidedFusion(nn.Module):
         return guided_local_conv(depth_feat, kernels)
 
 
+class MMAF(nn.Module):
+    """Dual-direction multi-modal attention fusion (MFF-Net MMAF blocks,
+    `mffnet/models.py:198-376`): each branch gates the other with
+    channel attention derived from globally pooled joint statistics, and
+    receives the gated cross-modal features residually. Returns the updated
+    (guide, depth) pair — both branches are refreshed, the "dual direction"
+    the round-1 softmax-kernel-only fusion lacked."""
+
+    features: int
+    reduction: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, guide_feat, depth_feat):
+        joint = jnp.concatenate([guide_feat, depth_feat], axis=-1)
+        pooled = jnp.mean(joint, axis=(1, 2))  # [N, 2C]
+        hidden = nn.relu(
+            nn.Dense(max(4, 2 * self.features // self.reduction),
+                     dtype=self.dtype)(pooled)
+        )
+        # Two per-channel gate sets: guide->depth and depth->guide.
+        gates = nn.Dense(2 * self.features, dtype=self.dtype)(hidden)
+        g2d = nn.sigmoid(gates[:, : self.features])[:, None, None, :]
+        d2g = nn.sigmoid(gates[:, self.features :])[:, None, None, :]
+        new_depth = depth_feat + nn.Conv(
+            self.features, (3, 3), padding="SAME", dtype=self.dtype
+        )(guide_feat * g2d)
+        new_guide = guide_feat + nn.Conv(
+            self.features, (3, 3), padding="SAME", dtype=self.dtype
+        )(depth_feat * d2g)
+        return new_guide, new_depth
+
+
 class GuidedCompletionNet(nn.Module):
-    """Two-branch guided completion (MFF-Net GuideNet style)."""
+    """Two-branch guided completion (MFF-Net GuideNet,
+    `mffnet/models.py:377-618`): at every scale the RGB guidance branch
+    (1) exchanges features with the depth branch through a dual-direction
+    MMAF block and (2) predicts spatially-varying kernels that filter the
+    depth branch (the GuideConv op, `ops.guided_conv`)."""
 
     base_features: int = 32
     depth_scale_hint: float = 80.0
@@ -102,19 +160,19 @@ class GuidedCompletionNet(nn.Module):
         d_in = (sparse_depth / self.depth_scale_hint)[..., None]
         valid = (sparse_depth > 0).astype(jnp.float32)[..., None]
 
-        # Guidance branch (RGB).
-        g0 = ConvBlock(f, dtype=self.dtype)(rgb)
-        g1 = ResBlock(f * 2, strides=2, dtype=self.dtype)(g0)
-        g2 = ResBlock(f * 4, strides=2, dtype=self.dtype)(g1)
+        g = ConvBlock(f, dtype=self.dtype)(rgb)
+        d = ConvBlock(f, dtype=self.dtype)(jnp.concatenate([d_in, valid], -1))
 
-        # Depth branch, fused with guidance kernels at each scale.
-        d0 = ConvBlock(f, dtype=self.dtype)(jnp.concatenate([d_in, valid], -1))
-        d0 = _GuidedFusion(f, dtype=self.dtype)(g0, d0)
-        d1 = ResBlock(f * 2, strides=2, dtype=self.dtype)(d0)
-        d1 = _GuidedFusion(f * 2, dtype=self.dtype)(g1, d1)
-        d2 = ResBlock(f * 4, strides=2, dtype=self.dtype)(d1)
-        d2 = _GuidedFusion(f * 4, dtype=self.dtype)(g2, d2)
+        skips = []
+        for stage, width in enumerate((f, f * 2, f * 4)):
+            if stage > 0:
+                g = ResBlock(width, strides=2, dtype=self.dtype)(g)
+                d = ResBlock(width, strides=2, dtype=self.dtype)(d)
+            g, d = MMAF(width, dtype=self.dtype)(g, d)
+            d = _GuidedFusion(width, dtype=self.dtype)(g, d)
+            skips.append(d)
 
+        d0, d1, d2 = skips
         u1 = upsample2d(ConvBlock(f * 2, dtype=self.dtype)(d2))
         u1 = u1[:, : d1.shape[1], : d1.shape[2]]
         u1 = ConvBlock(f * 2, dtype=self.dtype)(jnp.concatenate([u1, d1], -1))

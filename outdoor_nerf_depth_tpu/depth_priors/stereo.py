@@ -73,9 +73,16 @@ def disparity_regression(logits, disp_values):
 
     Returns (disparity [N, H, W], variance [N, H, W]) — the variance is
     CFNet's uncertainty, used for confidence filtering and range refinement.
+    `disp_values` is either a global [D] vector or per-pixel hypotheses
+    [N, D, H, W] (the uncertainty-driven variable-range stage, CFNet
+    `models/submodule.py:121-350`).
     """
     prob = jax.nn.softmax(logits, axis=1)  # over D
-    d = disp_values.reshape((1, -1, 1, 1))
+    d = (
+        disp_values
+        if disp_values.ndim == 4
+        else disp_values.reshape((1, -1, 1, 1))
+    )
     mean = jnp.sum(prob * d, axis=1)
     var = jnp.sum(prob * (d - mean[:, None]) ** 2, axis=1)
     return mean, var
@@ -102,17 +109,20 @@ class StereoNet(nn.Module):
     """Cascaded cost-volume stereo network.
 
     Stage 1 covers the full disparity range at 1/8 resolution; stage 2
-    refines at 1/4 resolution within a per-pixel range around the stage-1
-    estimate (the cascaded range refinement of CFNet's
-    `uncertainty-based disparity range` — realized here as a residual volume
-    over offsets, which keeps shapes static).
+    refines at 1/4 resolution with CFNet's uncertainty-driven *variable*
+    disparity range (`CFNet/models/submodule.py:121-350`): per-pixel
+    hypotheses sampled uniformly in mean +- gamma*std of the stage-1
+    distribution (gamma learned). Shapes stay static — the hypothesis count
+    is fixed, only the hypothesis *values* vary per pixel. The `pcwnet`
+    variant additionally fuses a 1/16 pyramid volume and refines stage 1
+    with a warping volume (`PCWNet/models/pwcnet.py:310-515`).
     """
 
     max_disparity: int = 192
     base_features: int = 32
     num_groups: int = 8
     concat_features: int = 12
-    refine_offsets: int = 8  # stage-2 residual range: +-offsets (at 1/4 res)
+    refine_offsets: int = 8  # stage 2 samples 2*k+1 per-pixel hypotheses
     variant: str = "cfnet"  # 'cfnet' | 'pcwnet'
     dtype: Any = jnp.float32
 
@@ -147,31 +157,63 @@ class StereoNet(nn.Module):
         disp_values8 = jnp.arange(d8, dtype=jnp.float32)
         disp8, var8 = disparity_regression(logits8, disp_values8)
 
-        # ---- Stage 2: residual refinement at 1/4 around upsampled stage 1.
+        if self.variant == "pcwnet":
+            # PCWNet's warping volume (`pwcnet.py:310-515`): re-warp the
+            # right features by the stage-1 disparity and aggregate a
+            # residual volume at the same scale before cascading — the
+            # "pyramid combination + warping" that distinguishes it from
+            # CFNet's purely cascaded ranges.
+            r8_warp = warp_by_disparity(r8, disp8)
+            woffs = jnp.arange(-4.0, 5.0)
+            wslices = [
+                groupwise_correlation(
+                    l8,
+                    shift_right_features(r8_warp, int(o))
+                    if o >= 0
+                    else shift_left_features(r8_warp, int(-o)),
+                    self.num_groups,
+                )
+                for o in woffs
+            ]
+            wvol = jnp.stack(wslices, axis=1)
+            wlogits = CostVolumeStage(
+                self.base_features // 2, num_hourglasses=1, dtype=self.dtype
+            )(wvol)
+            resid8, var8w = disparity_regression(wlogits, woffs)
+            disp8 = nn.relu(disp8 + resid8)
+            var8 = var8w
+
+        # ---- Stage 2: uncertainty-driven variable disparity range at 1/4
+        # (CFNet `models/submodule.py:121-350`): per-pixel hypotheses sampled
+        # uniformly within mean +- gamma * std of the stage-1 distribution.
+        # Static shapes: the hypothesis *count* is fixed; only their values
+        # vary per pixel.
+        std8 = jnp.sqrt(var8 + 1e-6)
+        gamma = self.param(
+            "range_gamma", nn.initializers.constant(1.5), (), jnp.float32
+        )
+        half8 = jnp.clip(jnp.abs(gamma) * std8, 1.0, float(d8))
         disp4_init = 2.0 * upsample2d(disp8[..., None])[..., 0]
         disp4_init = disp4_init[:, : l4.shape[1], : l4.shape[2]]
+        half4 = 2.0 * upsample2d(half8[..., None])[..., 0]
+        half4 = half4[:, : l4.shape[1], : l4.shape[2]]
 
-        # Residual volume over static offsets of the *left/right alignment*:
-        # warp right features by the current disparity, then correlate at
-        # small integer offsets.
-        r4_warp = warp_by_disparity(r4, disp4_init)
-        offset_list = list(range(-self.refine_offsets, self.refine_offsets + 1))
-        offsets = jnp.asarray(offset_list, jnp.float32)
-        slices = []
-        for off in offset_list:
-            shifted = (
-                shift_right_features(r4_warp, off)
-                if off >= 0
-                else shift_left_features(r4_warp, -off)
+        n_hyp = 2 * self.refine_offsets + 1
+        fracs = jnp.linspace(-1.0, 1.0, n_hyp)
+        hyps = (
+            disp4_init[:, None] + fracs[None, :, None, None] * half4[:, None]
+        )
+        hyps = jnp.clip(hyps, 0.0, self.max_disparity / 4.0)
+        slices = [
+            groupwise_correlation(
+                l4, warp_by_disparity(r4, hyps[:, i]), self.num_groups
             )
-            slices.append(
-                groupwise_correlation(l4, shifted, self.num_groups)
-            )
+            for i in range(n_hyp)
+        ]
         vol4 = jnp.stack(slices, axis=1)
         logits4 = CostVolumeStage(self.base_features // 2, num_hourglasses=1,
                                   dtype=self.dtype)(vol4)
-        resid4, var4 = disparity_regression(logits4, offsets)
-        disp4 = nn.relu(disp4_init + resid4)
+        disp4, var4 = disparity_regression(logits4, hyps)
 
         # ---- Full-resolution output.
         disparity = 4.0 * upsample2d(disp4[..., None], 4)[..., 0]

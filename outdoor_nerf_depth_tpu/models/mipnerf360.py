@@ -51,6 +51,11 @@ class ProposalModel(nn.Module):
     bg_intensity_range: Tuple[float, float] = (1.0, 1.0)
     num_glo_features: int = 0
     num_glo_embeddings: int = 1000
+    # Per-image learned RGB scaling (reference `mipnerf360/internal/
+    # models.py:66-121, 229-262`, used for multi-exposure captures): the
+    # rendering's rgb is multiplied by (1 + offset[cam_idx]), offsets
+    # zero-initialized. Inactive under zero_glo (eval on unseen cameras).
+    learned_exposure_scaling: bool = False
     vis_num_rays: int = 16
     nerf_mlp_params: Any = None  # dict of ConeFieldMLP overrides
     prop_mlp_params: Any = None
@@ -87,6 +92,16 @@ class ProposalModel(nn.Module):
                 glo_vec = nn.Embed(
                     self.num_glo_embeddings, self.num_glo_features, name="glo"
                 )(rays.cam_idx[..., 0])
+
+        exposure_scale = None
+        if self.learned_exposure_scaling and not zero_glo:
+            offsets = nn.Embed(
+                self.num_glo_embeddings,
+                3,
+                embedding_init=jax.nn.initializers.zeros,
+                name="exposure_scaling",
+            )(rays.cam_idx[..., 0])
+            exposure_scale = 1.0 + offsets
 
         _, s_to_t = spaces.metric_to_normalized(self.raydist_fn, rays.near, rays.far)
 
@@ -205,6 +220,12 @@ class ProposalModel(nn.Module):
                     if k.startswith("normals") or k == "roughness"
                 },
             )
+
+            exposure = getattr(rays, "exposure_values", None)
+            if exposure is not None:
+                rendering["rgb"] = rendering["rgb"] * exposure
+            if exposure_scale is not None:
+                rendering["rgb"] = rendering["rgb"] * exposure_scale
 
             if compute_extras:
                 n = self.vis_num_rays

@@ -130,9 +130,22 @@ class HashGridModel(nn.Module):
     near_distance: float = 0.01
     density_threshold: float = 0.01
     bg_intensity_range: Tuple[float, float] = (0.0, 0.0)
+    # Iterative eval renderer (render_eval): per-round sample/candidate
+    # budget, transmittance early-stop, and the total-step budget feeding
+    # the reference's calc_dt clamp (`raymarching.cu:11-18`, MAX_SAMPLES).
+    eval_samples_per_round: int = 32
+    eval_candidates_per_round: int = 256
+    eval_early_stop_eps: float = 1e-4
+    eval_max_total_samples: int = 1024
     # With an HDR field (rgb_activation="none"), render the radiance map
     # itself instead of the tonemapped LDR (reference `output_radiance`).
     output_radiance: bool = False
+    # Learnable per-image SE(3) extrinsics refinement (reference
+    # `ngp-depth/opt.py:58` --optimize_ext; train.py registers dR/dT
+    # embeddings): zero-initialized rotation (axis-angle) and translation
+    # deltas applied to each ray's origin/direction by camera index.
+    optimize_ext: bool = False
+    num_images: int = 1000
     field_params: Any = None
     compute_dtype: Any = jnp.float32
 
@@ -141,6 +154,40 @@ class HashGridModel(nn.Module):
             scale=self.scale,
             compute_dtype=self.compute_dtype,
             **(self.field_params or {}),
+        )
+        if self.optimize_ext:
+            zeros = jax.nn.initializers.zeros
+            self.pose_dr = nn.Embed(
+                self.num_images, 3, embedding_init=zeros, name="pose_dR"
+            )
+            self.pose_dt = nn.Embed(
+                self.num_images, 3, embedding_init=zeros, name="pose_dT"
+            )
+
+    def _refine_rays(self, rays):
+        """Apply the per-image SE(3) delta: Rodrigues-rotate directions by
+        dR[cam], translate origins by dT[cam]."""
+        if not self.optimize_ext:
+            return rays
+        idx = rays.cam_idx[..., 0]
+        dr = self.pose_dr(idx)
+        dt = self.pose_dt(idx)
+        theta = jnp.sqrt(jnp.sum(dr**2, axis=-1, keepdims=True) + 1e-12)
+        axis = dr / theta
+        cos, sin = jnp.cos(theta), jnp.sin(theta)
+
+        def rot(v):
+            return (
+                v * cos
+                + jnp.cross(axis, v) * sin
+                + axis * jnp.sum(axis * v, axis=-1, keepdims=True) * (1.0 - cos)
+            )
+
+        new_dirs = rot(rays.directions)
+        new_view = rot(rays.viewdirs)
+        new_view = new_view / jnp.linalg.norm(new_view, axis=-1, keepdims=True)
+        return rays.replace(
+            origins=rays.origins + dt, directions=new_dirs, viewdirs=new_view
         )
 
     def density(self, x):
@@ -227,6 +274,12 @@ class HashGridModel(nn.Module):
             "distance_mean": depth,
             "acc": acc,
             "samples_per_ray": jnp.sum(valid, axis=-1),
+            # Marching-efficiency counters, the parity signal for the
+            # static-shape redesign (reference logs rm_s/vr_s,
+            # `ngp-depth/train.py:186-189`): candidates marked occupied per
+            # ray (rm) and valid compacted samples rendered per ray (vr).
+            "rm_per_ray": jnp.sum(occupied, axis=-1),
+            "vr_per_ray": jnp.sum(valid, axis=-1),
         }
         history = dict(
             weights=weights,
@@ -235,6 +288,167 @@ class HashGridModel(nn.Module):
             valid=valid,
         )
         return [rendering], [history]
+
+
+    def render_eval(
+        self,
+        rays,
+        occupancy: jax.Array,
+        max_rounds: Optional[int] = None,
+    ):
+        """Occupancy-aware iterative test-time renderer.
+
+        The TPU redesign of the reference's alive-ray marching loop
+        (`ngp-depth/models/rendering.py:46-118`, `csrc/raymarching.cu:
+        335-454`, `volumerendering.cu:205-285`): a `lax.while_loop` whose
+        rounds march every still-alive ray a fixed number of candidate steps
+        (reference `calc_dt` exponential spacing), evaluate the field only on
+        the first `eval_samples_per_round` *occupied* candidates, composite
+        incrementally with a carried transmittance, and retire rays at
+        T < eval_early_stop_eps. Dynamic CUDA alive-compaction becomes a
+        static-shape masked round; the early exit is the loop condition —
+        a chunk of coherent rays stops as soon as all are opaque or out of
+        the scene, instead of paying the train path's fixed 512-candidate /
+        128-eval budget per ray.
+
+        Returns the eval rendering dict (rgb, depth, distance_mean, acc,
+        samples_per_ray, rounds).
+        """
+        e_max = float(occ.cascade_extents(self.scale)[-1])
+        exp_factor = 0.0 if self.scale <= 0.5 else 1.0 / 256.0
+        n_cand = self.eval_candidates_per_round
+        n_samp = self.eval_samples_per_round
+        if max_rounds is None:
+            # Enough rounds to render max_total_samples even when every
+            # window is fully occupied (S samples land per round); empty
+            # space advances a whole C-candidate window per round instead.
+            max_rounds = max(4, 2 * self.eval_max_total_samples // n_samp)
+
+        t_near, t_far, hit = occ.intersect_aabb(
+            rays.origins, rays.viewdirs, e_max, near_min=self.near_distance
+        )
+        t_near = jnp.maximum(t_near, rays.near[..., 0])
+        t_far = jnp.maximum(jnp.minimum(t_far, rays.far[..., 0]), t_near + 1e-4)
+
+        shape = t_near.shape
+        state = dict(
+            t=t_near,
+            trans=jnp.ones(shape, jnp.float32),
+            rgb=jnp.zeros(shape + (3,), jnp.float32),
+            depth=jnp.zeros(shape, jnp.float32),
+            acc=jnp.zeros(shape, jnp.float32),
+            n_samples=jnp.zeros(shape, jnp.int32),
+            alive=hit,
+            round=jnp.zeros((), jnp.int32),
+        )
+
+        exposure = getattr(rays, "exposure_values", None)
+        if exposure is not None:
+            exposure = exposure[..., None, :]
+
+        def cond(s):
+            return jnp.any(s["alive"]) & (s["round"] < max_rounds)
+
+        def body(s):
+            # Constant step within a round, exponential across rounds — a
+            # closed-form stand-in for the per-sample calc_dt recurrence.
+            dt_r = occ.calc_dt(
+                s["t"], exp_factor, self.eval_max_total_samples,
+                self.grid_resolution, e_max,
+            )
+            offsets = jnp.arange(n_cand + 1, dtype=jnp.float32)
+            edges = s["t"][..., None] + offsets * dt_r[..., None]
+            mids = 0.5 * (edges[..., :-1] + edges[..., 1:])
+            pts = (
+                rays.origins[..., None, :]
+                + mids[..., None] * rays.viewdirs[..., None, :]
+            )
+            occupied = occ.lookup(occupancy, pts, self.scale,
+                                  self.density_threshold)
+            occupied &= (mids < t_far[..., None]) & s["alive"][..., None]
+
+            t_mid, dt, valid = occ.compact_occupied(edges, occupied, n_samp)
+            sample_pts = (
+                rays.origins[..., None, :]
+                + t_mid[..., None] * rays.viewdirs[..., None, :]
+            )
+
+            # Rounds whose whole chunk hit no occupied candidate are pure
+            # marching: skip the field matmuls entirely (the analog of the
+            # CUDA test kernel skipping empties without network calls).
+            def eval_field(_):
+                sigma, rgb = self.field(
+                    sample_pts,
+                    rays.viewdirs[..., None, :],
+                    exposure=exposure,
+                    output_radiance=self.output_radiance,
+                )
+                return sigma.astype(jnp.float32), rgb.astype(jnp.float32)
+
+            def skip_field(_):
+                return (
+                    jnp.zeros(t_mid.shape, jnp.float32),
+                    jnp.zeros(t_mid.shape + (3,), jnp.float32),
+                )
+
+            sigma, rgb = jax.lax.cond(
+                jnp.any(valid), eval_field, skip_field, None
+            )
+            sigma = jnp.where(valid, sigma, 0.0)
+            tau = sigma * dt
+            trans_in = jnp.exp(
+                -jnp.concatenate(
+                    [jnp.zeros_like(tau[..., :1]),
+                     jnp.cumsum(tau[..., :-1], axis=-1)], axis=-1,
+                )
+            )
+            alpha = 1.0 - jnp.exp(-tau)
+            w = s["trans"][..., None] * trans_in * alpha
+
+            new_trans = s["trans"] * jnp.exp(-jnp.sum(tau, axis=-1))
+            # When the window held more occupied candidates than eval slots,
+            # only advance past the last *rendered* sample — the rest of the
+            # window is revisited next round (correctness under a candidate
+            # window wider than the sample budget; lets empty space advance
+            # a full window per round while surfaces render densely).
+            n_occ = jnp.sum(occupied, axis=-1)
+            t_end_valid = jnp.max(
+                jnp.where(valid, t_mid + 0.5 * dt, -jnp.inf), axis=-1
+            )
+            truncated = n_occ > n_samp
+            t_next = jnp.where(
+                truncated,
+                jnp.maximum(t_end_valid, s["t"]),
+                edges[..., -1],
+            )
+            alive = (
+                s["alive"]
+                & (new_trans > self.eval_early_stop_eps)
+                & (t_next < t_far)
+            )
+            return dict(
+                t=t_next,
+                trans=new_trans,
+                rgb=s["rgb"] + jnp.sum(w[..., None] * rgb, axis=-2),
+                depth=s["depth"] + jnp.sum(w * t_mid, axis=-1),
+                acc=s["acc"] + jnp.sum(w, axis=-1),
+                n_samples=s["n_samples"] + jnp.sum(valid, axis=-1),
+                alive=alive,
+                round=s["round"] + 1,
+            )
+
+        final = jax.lax.while_loop(cond, body, state)
+        lo, hi = self.bg_intensity_range
+        bg = 0.5 * (lo + hi)
+        rgb_map = final["rgb"] + (1.0 - final["acc"][..., None]) * bg
+        return {
+            "rgb": rgb_map,
+            "depth": final["depth"],
+            "distance_mean": final["depth"],
+            "acc": final["acc"],
+            "samples_per_ray": final["n_samples"],
+            "rounds": jnp.broadcast_to(final["round"], shape),
+        }
 
 
 def make_density_fn(model: HashGridModel, variables):

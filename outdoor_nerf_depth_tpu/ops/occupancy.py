@@ -315,6 +315,24 @@ def intersect_aabb(ray_o, ray_d, half_extent: float, near_min: float = 0.01):
     return t_near, t_far, hit
 
 
+def calc_dt(t, exp_step_factor: float, max_samples: int, grid_size: int,
+            scale: float):
+    """Exponential marching step size with the reference's clamp behavior.
+
+    Matches `calc_dt` (`reference ngp-depth/models/csrc/raymarching.cu:11-18`):
+    step grows proportionally to distance (factor 1/256 for unbounded scenes,
+    0 for bounded ones -> constant minimum step), clamped between
+    SQRT3/max_samples (so a unit-cube diagonal takes <= max_samples steps)
+    and SQRT3 * 2 * extent / grid_size (never skip more than ~a cell of the
+    coarsest cascade). `scale` here is the outermost cascade half-extent.
+    """
+    return jnp.clip(
+        t * exp_step_factor,
+        SQRT3 / max_samples,
+        SQRT3 * 2.0 * scale / grid_size,
+    )
+
+
 def march_candidates(
     rng,
     t_near,

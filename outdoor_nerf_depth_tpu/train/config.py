@@ -65,6 +65,10 @@ class Config:
     weight_decay_mults: Any = dataclasses.field(default_factory=dict)
 
     # -- NGP occupancy grid
+    # Eval renderer for the NGP model: "iterative" = occupancy-aware
+    # alive-ray marching with early termination (the reference's test path);
+    # "train" = reuse the dense train-path renderer.
+    ngp_eval_renderer: str = "iterative"
     occupancy_update_every: int = 16
     occupancy_warmup_steps: int = 256
     occupancy_decay: float = 0.95

@@ -33,6 +33,12 @@ def build_dataset(config: Config, split: str):
             global_batch_size=config.batch_size,
             cast_on_device=config.cast_rays_in_train_step,
         )
+    if config.dataset == "spheres":
+        return datasets_lib.SphereSceneDataset(
+            split,
+            global_batch_size=config.batch_size,
+            cast_on_device=config.cast_rays_in_train_step,
+        )
     if config.dataset == "driving":
         ds = datasets_lib.DrivingSceneDataset(
             config.scene_dir,

@@ -199,6 +199,12 @@ def _total_loss(config: Config, model, batch, renderings, ray_history, rays):
     stats["mses"] = jnp.array(mses)
     stats["psnrs"] = metrics_lib.mse_to_psnr(stats["mses"])
     stats["psnr"] = stats["psnrs"][-1]
+    # NGP marching-efficiency counters (reference rm_s/vr_s,
+    # `ngp-depth/train.py:186-189`): mean occupied candidates and mean valid
+    # rendered samples per ray this step.
+    if "rm_per_ray" in renderings[-1]:
+        stats["rm_s"] = jnp.mean(renderings[-1]["rm_per_ray"].astype(jnp.float32))
+        stats["vr_s"] = jnp.mean(renderings[-1]["vr_per_ray"].astype(jnp.float32))
     return loss_terms, stats
 
 
@@ -349,6 +355,7 @@ def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspect
     def call(state, batch, rng, train_frac, aux=None):
         return jitted(state, batch, rng, train_frac, aux)
 
+    call.jitted = jitted  # exposes .lower() for AOT cost analysis (bench.py)
     return call
 
 
@@ -391,6 +398,7 @@ def make_multi_train_step(
     def call(state, batches, rngs, train_fracs, aux=None):
         return jitted(state, batches, rngs, train_fracs, aux)
 
+    call.jitted = jitted  # exposes .lower() for AOT cost analysis (bench.py)
     return call
 
 
@@ -461,17 +469,29 @@ def make_occupancy_update_fn(config: Config, model, mesh):
 
 
 def make_render_fn(config: Config, model, mesh):
-    """Compile the chunked eval renderer (deterministic, full extras)."""
+    """Compile the chunked eval renderer (deterministic, full extras).
+
+    For the NGP model with a trained occupancy grid, dispatches to the
+    iterative alive-ray renderer (`HashGridModel.render_eval`, the analog of
+    the reference's test path `ngp-depth/models/rendering.py:46-118`) unless
+    `config.ngp_eval_renderer == "train"`; gridless calls (occupancy None)
+    fall back to the dense train-path renderer, which is always correct.
+    """
     repl = parallel.replicated(mesh)
     data = parallel.batch_sharding(mesh)
     from outdoor_nerf_depth_tpu.models.ngp import HashGridModel
 
     takes_occupancy = isinstance(model, HashGridModel)
+    iterative = takes_occupancy and config.ngp_eval_renderer == "iterative"
 
     @functools.partial(
         jax.jit, in_shardings=(repl, data, repl), out_shardings=repl
     )
     def render_chunk(params, rays, aux=None):
+        if iterative and aux is not None:
+            return model.apply(
+                params, rays, aux, method=HashGridModel.render_eval
+            )
         kwargs = {"occupancy": aux} if takes_occupancy else {}
         renderings, _ = model.apply(
             params, None, rays, train_frac=1.0, compute_extras=True, **kwargs

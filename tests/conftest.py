@@ -23,3 +23,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402  (must import after the env mutation above)
 
 jax.config.update("jax_platforms", "cpu")
+
+import outdoor_nerf_depth_tpu as _ondt  # noqa: E402
+
+_ondt.enable_compilation_cache()

@@ -493,3 +493,99 @@ class TestPadToMultiple:
         assert padded["a"].shape == (16, 3)
         padded2, pad2 = rays.pad_to_multiple(tree, 5)
         assert pad2 == 0 and padded2 is tree
+
+
+class TestSphereSceneDataset:
+    """The analytic multi-view-consistent fixture behind quality_gate.py."""
+
+    def test_deterministic_and_shaped(self):
+        from outdoor_nerf_depth_tpu.data.datasets import SphereSceneDataset
+
+        a = SphereSceneDataset("train", global_batch_size=16, n_images=12,
+                               height=24, width=32)
+        b = SphereSceneDataset("train", global_batch_size=16, n_images=12,
+                               height=24, width=32)
+        np.testing.assert_array_equal(a.images, b.images)
+        np.testing.assert_array_equal(a.depth_gt, b.depth_gt)
+        assert a.images.shape == (11, 24, 32, 3)  # 12 - 1 test view
+        assert a.images.min() >= 0.0 and a.images.max() <= 1.0
+
+    def test_split_disjoint(self):
+        from outdoor_nerf_depth_tpu.data.datasets import SphereSceneDataset
+
+        tr = SphereSceneDataset("train", 16, n_images=20, height=8, width=8)
+        te = SphereSceneDataset("test", 16, n_images=20, height=8, width=8)
+        assert tr.n_images == 18 and te.n_images == 2  # every 10th from 9
+
+    def test_depth_is_geometrically_consistent(self):
+        """Backproject valid-depth pixels to 3D: every point must lie on a
+        scene surface (a sphere or the ground disk) and inside the bounds
+        the NGP/NeRF++ configurations assume."""
+        from outdoor_nerf_depth_tpu.data.datasets import SphereSceneDataset
+
+        ds = SphereSceneDataset("train", 16, n_images=12, height=32,
+                                width=48)
+        batch = ds.image_batch(0)
+        o = np.asarray(batch.rays.origins)
+        d = np.asarray(batch.rays.viewdirs)
+        t = np.asarray(batch.depth_gt)
+        valid = t > 0
+        assert valid.mean() > 0.2  # scene covers a decent solid angle
+        pts = o[valid] + t[valid][..., None] * d[valid]
+        assert np.abs(pts).max() < 0.5 + 1e-5  # inside the NGP cube
+
+        dist_surface = np.full(len(pts), np.inf)
+        for c, r in zip(ds._centers, ds._radii):
+            dist_surface = np.minimum(
+                dist_surface, np.abs(np.linalg.norm(pts - c, axis=-1) - r)
+            )
+        on_ground = (
+            np.abs(pts[:, 2] - ds._ground_z) < 1e-4
+        ) & (np.linalg.norm(pts[:, :2], axis=-1) < ds._ground_r)
+        assert np.all((dist_surface < 1e-4) | on_ground)
+
+    def test_multi_view_color_consistency(self):
+        """Project a surface point seen in view A into view B: colors match
+        (Lambertian shading is view-independent by construction)."""
+        from outdoor_nerf_depth_tpu.data import cameras as cameras_lib
+        from outdoor_nerf_depth_tpu.data.datasets import SphereSceneDataset
+
+        ds = SphereSceneDataset("train", 16, n_images=24, height=48,
+                                width=64)
+        ba = ds.image_batch(0)
+        o = np.asarray(ba.rays.origins)
+        d = np.asarray(ba.rays.viewdirs)
+        t = np.asarray(ba.depth_gt)
+
+        # Use the adjacent camera (small baseline -> likely co-visible).
+        c2w = np.concatenate(
+            [ds.camtoworlds[1], np.array([[0, 0, 0, 1]], np.float32)], 0
+        )
+        w2c = np.linalg.inv(c2w)
+        k = np.linalg.inv(ds.pixtocams)
+
+        checked = 0
+        for py in range(10, 38, 4):
+            for px in range(10, 54, 6):
+                if t[py, px] <= 0:
+                    continue
+                pt = o[py, px] + t[py, px] * d[py, px]
+                cam = w2c[:3, :3] @ pt + w2c[:3, 3]
+                if -cam[2] < 0.05:
+                    continue
+                uvw = k @ np.array([cam[0] / -cam[2], -cam[1] / -cam[2], 1.0])
+                u, v = uvw[0], uvw[1]
+                iu, iv = int(round(u)), int(round(v))
+                if not (1 <= iu < 63 and 1 <= iv < 47):
+                    continue
+                # Occlusion check: view B's depth at that pixel must match
+                # the point's distance to camera B.
+                tb = np.asarray(ds.image_batch(1).depth_gt)[iv, iu]
+                dist_b = np.linalg.norm(pt - c2w[:3, 3])
+                if tb <= 0 or abs(tb - dist_b) > 0.02:
+                    continue
+                ca = ds.images[0, py, px]
+                cb = ds.images[1, iv, iu]
+                assert np.abs(ca - cb).max() < 0.25, (py, px, ca, cb)
+                checked += 1
+        assert checked >= 5

@@ -331,3 +331,136 @@ class TestHashGridModel:
             losses.append(float(stats["loss"]))
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
+
+
+class TestIterativeEvalRenderer:
+    """render_eval: the occupancy-aware alive-ray test renderer."""
+
+    @pytest.fixture(scope="class")
+    def model_and_vars(self):
+        from tests.test_models import _unit_sphere_rays
+
+        model = ngp.HashGridModel(
+            scale=0.5,
+            max_samples=32,
+            n_candidates=128,
+            grid_resolution=16,
+            eval_samples_per_round=16,
+            eval_candidates_per_round=32,
+            eval_max_total_samples=256,
+            field_params=dict(n_levels=2, log2_table_size=10,
+                              base_resolution=4, max_resolution=16,
+                              hidden_width=16, geo_features=7),
+        )
+        rays = _unit_sphere_rays()
+        variables = model.init(
+            jax.random.PRNGKey(0), rng=None, rays=rays, train_frac=1.0,
+            compute_extras=False,
+        )
+        return model, variables
+
+    def test_empty_grid_renders_background(self, model_and_vars):
+        from tests.test_models import _unit_sphere_rays
+
+        model, variables = model_and_vars
+        rays = _unit_sphere_rays(n=8, seed=11)
+        grid = occ.init_grid(0.5, model.grid_resolution)  # all empty
+        out = model.apply(variables, rays, grid,
+                          method=ngp.HashGridModel.render_eval)
+        np.testing.assert_allclose(np.asarray(out["acc"]), 0.0, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(out["samples_per_ray"]), 0)
+        # bg_intensity_range is (0, 0) -> black.
+        np.testing.assert_allclose(np.asarray(out["rgb"]), 0.0, atol=1e-6)
+
+    def test_matches_dense_quadrature(self, model_and_vars):
+        """On a fully-occupied grid the iterative renderer must reproduce
+        the volume-rendering integral computed by brute-force fine
+        quadrature of the same field (ground truth, no marching logic)."""
+        from tests.test_models import _unit_sphere_rays
+
+        model, variables = model_and_vars
+        rays = _unit_sphere_rays(n=6, seed=12)
+        grid = occ.init_grid(0.5, model.grid_resolution) + 1.0
+        out = model.apply(variables, rays, grid,
+                          method=ngp.HashGridModel.render_eval)
+
+        t_near, t_far, hit = occ.intersect_aabb(
+            rays.origins, rays.viewdirs, 0.5, near_min=model.near_distance
+        )
+        t_near = jnp.maximum(t_near, rays.near[..., 0])
+        t_far = jnp.maximum(jnp.minimum(t_far, rays.far[..., 0]),
+                            t_near + 1e-4)
+        n = 8192
+        frac = jnp.linspace(0.0, 1.0, n + 1)
+        edges = t_near[:, None] + (t_far - t_near)[:, None] * frac
+        mids = 0.5 * (edges[:, :-1] + edges[:, 1:])
+        dt = jnp.diff(edges, axis=-1)
+        pts = rays.origins[:, None, :] + mids[..., None] * rays.viewdirs[:, None, :]
+        sigma, rgb = model.apply(
+            variables, pts, rays.viewdirs[:, None, :],
+            method=lambda m, p, v: m.field(p, v),
+        )
+        tau = sigma * dt
+        trans = jnp.exp(-jnp.concatenate(
+            [jnp.zeros_like(tau[:, :1]), jnp.cumsum(tau[:, :-1], -1)], -1))
+        w = trans * (1.0 - jnp.exp(-tau))
+        rgb_ref = jnp.sum(w[..., None] * rgb, axis=-2)
+        acc_ref = jnp.sum(w, axis=-1)
+        depth_ref = jnp.sum(w * mids, axis=-1)
+
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(rgb_ref), atol=0.02
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["acc"]), np.asarray(acc_ref), atol=0.02
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["depth"]), np.asarray(depth_ref), atol=0.02
+        )
+
+    def test_early_termination_stops_rounds(self, model_and_vars):
+        from tests.test_models import _unit_sphere_rays
+
+        model, variables = model_and_vars
+        rays = _unit_sphere_rays(n=8, seed=13)
+        grid = occ.init_grid(0.5, model.grid_resolution) + 1.0
+        # An opaque field (huge sigma) must retire every ray in round one.
+        opaque = model.clone(eval_early_stop_eps=0.999999)
+        out = opaque.apply(variables, rays, grid,
+                           method=ngp.HashGridModel.render_eval)
+        assert int(np.asarray(out["rounds"]).max()) <= 2
+
+    def test_render_fn_dispatch(self, model_and_vars):
+        import outdoor_nerf_depth_tpu.parallel as parallel
+        from outdoor_nerf_depth_tpu.train import step as step_lib
+        from outdoor_nerf_depth_tpu.train.config import Config
+        from tests.test_models import _unit_sphere_rays
+
+        model, variables = model_and_vars
+        mesh = parallel.make_mesh()
+        config = Config(model="ngp", ngp_eval_renderer="iterative")
+        render_chunk = step_lib.make_render_fn(config, model, mesh)
+        rays = _unit_sphere_rays(n=8, seed=14)
+        grid = occ.init_grid(0.5, model.grid_resolution) + 1.0
+        out = render_chunk(variables, rays, grid)
+        assert "rounds" in out  # iterative path taken
+        out2 = render_chunk(variables, rays, None)
+        assert "rounds" not in out2  # dense fallback without a grid
+
+
+class TestCalcDt:
+    def test_matches_reference_clamp(self):
+        # reference raymarching.cu:11-18: clamp(t*f, SQRT3/max, SQRT3*2s/g).
+        s3 = float(np.sqrt(3.0))
+        dt = occ.calc_dt(jnp.array([0.0, 1.0, 1e6]), 1.0 / 256, 1024, 128, 4.0)
+        np.testing.assert_allclose(
+            np.asarray(dt),
+            [s3 / 1024, max(1.0 / 256, s3 / 1024), s3 * 8.0 / 128],
+            rtol=1e-6,
+        )
+
+    def test_bounded_scene_uses_min_step(self):
+        dt = occ.calc_dt(jnp.array([5.0]), 0.0, 1024, 128, 0.5)
+        np.testing.assert_allclose(
+            np.asarray(dt), [np.sqrt(3.0) / 1024], rtol=1e-6
+        )
