@@ -253,6 +253,83 @@ class SyntheticDataset(RayDataset):
         self._finalize()
 
 
+def trace_sphere_scene(
+    c2w,
+    pixtocam,
+    height: int,
+    width: int,
+    near: float,
+    centers,
+    radii,
+    colors,
+    light,
+    ground_z: float,
+    ground_r: float,
+    ground_center=(0.0, 0.0),
+):
+    """Closed-form ray casting of the analytic sphere+ground-disk scene.
+
+    Returns (rgb [H, W, 3] in [0,1], depth [H, W] metric along the ray,
+    invalid = _INVALID_DEPTH). Shared by `SphereSceneDataset` and the KITTI
+    fixture generator (`tools/make_kitti_fixture.py`).
+    """
+    px, py = cameras_lib.pixel_grid(width, height)
+    pixels = rays_lib.Pixels(
+        pix_x=px.astype(np.float32),
+        pix_y=py.astype(np.float32),
+        cam_idx=np.zeros(px.shape + (1,), np.int32),
+        lossmult=np.ones(px.shape + (1,), np.float32),
+        near=np.full(px.shape + (1,), near, np.float32),
+        far=np.full(px.shape + (1,), 1e6, np.float32),
+    )
+    rays = cameras_lib.cast_pixels(
+        pixels, (pixtocam, c2w[None], None), "perspective"
+    )
+    o = np.asarray(rays.origins, np.float32)
+    d = np.asarray(rays.viewdirs, np.float32)
+
+    t_hit = np.full(px.shape, np.inf, np.float32)
+    rgb = np.zeros(px.shape + (3,), np.float32)
+
+    # Spheres: nearest positive root of |o + t d - c|^2 = r^2.
+    for c, r, col in zip(centers, radii, colors):
+        oc = o - c
+        b = np.sum(oc * d, -1)
+        disc = b**2 - (np.sum(oc**2, -1) - r**2)
+        valid = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        valid &= (t > near) & (t < t_hit)
+        normal = (o + t[..., None] * d - c) / r
+        shade = 0.35 + 0.65 * np.maximum(0.0, np.sum(normal * light, -1))
+        rgb = np.where(valid[..., None], col * shade[..., None], rgb)
+        t_hit = np.where(valid, t, t_hit)
+
+    # Ground disk at z = ground_z, radius ground_r, smooth albedo.
+    tz = (ground_z - o[..., 2]) / np.where(
+        np.abs(d[..., 2]) < 1e-8, 1e-8, d[..., 2]
+    )
+    hit_pt = o + tz[..., None] * d
+    rel = hit_pt[..., :2] - np.asarray(ground_center, np.float32)
+    on_disk = (
+        (tz > near)
+        & (tz < t_hit)
+        & (np.linalg.norm(rel, axis=-1) < ground_r)
+    )
+    albedo = np.stack(
+        [
+            0.45 + 0.35 * rel[..., 0] / ground_r,
+            0.5 + 0.35 * rel[..., 1] / ground_r,
+            np.full(tz.shape, 0.55, np.float32),
+        ],
+        -1,
+    )
+    rgb = np.where(on_disk[..., None], albedo * light[2], rgb)
+    t_hit = np.where(on_disk, tz, t_hit)
+
+    depth = np.where(np.isfinite(t_hit), t_hit, _INVALID_DEPTH)
+    return np.clip(rgb, 0.0, 1.0).astype(np.float32), depth.astype(np.float32)
+
+
 class SphereSceneDataset(RayDataset):
     """Deterministic analytic 3D scene rendered by closed-form ray casting.
 
@@ -321,62 +398,19 @@ class SphereSceneDataset(RayDataset):
         self._finalize()
 
     def _trace(self, c2w, height, width):
-        px, py = cameras_lib.pixel_grid(width, height)
-        pixels = rays_lib.Pixels(
-            pix_x=px.astype(np.float32),
-            pix_y=py.astype(np.float32),
-            cam_idx=np.zeros(px.shape + (1,), np.int32),
-            lossmult=np.ones(px.shape + (1,), np.float32),
-            near=np.full(px.shape + (1,), self.near, np.float32),
-            far=np.full(px.shape + (1,), self.far, np.float32),
+        return trace_sphere_scene(
+            c2w,
+            self.pixtocams,
+            height,
+            width,
+            self.near,
+            self._centers,
+            self._radii,
+            self._colors,
+            self._light,
+            self._ground_z,
+            self._ground_r,
         )
-        rays = cameras_lib.cast_pixels(
-            pixels, (self.pixtocams, c2w[None], None), "perspective"
-        )
-        o = np.asarray(rays.origins, np.float32)
-        d = np.asarray(rays.viewdirs, np.float32)
-
-        t_hit = np.full(px.shape, np.inf, np.float32)
-        rgb = np.zeros(px.shape + (3,), np.float32)
-
-        # Spheres: nearest positive root of |o + t d - c|^2 = r^2.
-        for c, r, col in zip(self._centers, self._radii, self._colors):
-            oc = o - c
-            b = np.sum(oc * d, -1)
-            disc = b**2 - (np.sum(oc**2, -1) - r**2)
-            valid = disc > 0
-            t = -b - np.sqrt(np.maximum(disc, 0.0))
-            valid &= (t > self.near) & (t < t_hit)
-            normal = (o + t[..., None] * d - c) / r
-            shade = 0.35 + 0.65 * np.maximum(
-                0.0, np.sum(normal * self._light, -1)
-            )
-            rgb = np.where(valid[..., None], col * shade[..., None], rgb)
-            t_hit = np.where(valid, t, t_hit)
-
-        # Ground disk at z = ground_z, radius ground_r, smooth albedo.
-        tz = (self._ground_z - o[..., 2]) / np.where(
-            np.abs(d[..., 2]) < 1e-8, 1e-8, d[..., 2]
-        )
-        hit_pt = o + tz[..., None] * d
-        on_disk = (
-            (tz > self.near)
-            & (tz < t_hit)
-            & (np.linalg.norm(hit_pt[..., :2], axis=-1) < self._ground_r)
-        )
-        albedo = np.stack(
-            [
-                0.45 + 0.35 * hit_pt[..., 0] / self._ground_r,
-                0.5 + 0.35 * hit_pt[..., 1] / self._ground_r,
-                np.full(tz.shape, 0.55, np.float32),
-            ],
-            -1,
-        )
-        rgb = np.where(on_disk[..., None], albedo * self._light[2], rgb)
-        t_hit = np.where(on_disk, tz, t_hit)
-
-        depth = np.where(np.isfinite(t_hit), t_hit, _INVALID_DEPTH)
-        return rgb.astype(np.float32), depth.astype(np.float32)
 
 
 class BlenderDataset(RayDataset):

@@ -508,7 +508,11 @@ def render_image(render_chunk, params, batch, mesh, chunk_size: int = 16384,
 
     Chunks are padded to the device count, sharded, rendered, gathered, and
     reassembled to [H, W, ...] (reference `models.py:626-707`, without the
-    host-0-only gather: jax.Array addressability handles it).
+    host-0-only gather: jax.Array addressability handles it). Multi-process:
+    every process holds the full (host-cast) chunk, slices out its own
+    1/process_count (the contract of `parallel.shard_batch`), and reads the
+    replicated output back — the reference's per-host ray slicing
+    (`models.py:670-672`) without an explicit gather.
     """
     rays = batch.rays
     h, w = rays.origins.shape[:2]
@@ -516,12 +520,20 @@ def render_image(render_chunk, params, batch, mesh, chunk_size: int = 16384,
         lambda r: r.reshape((h * w,) + r.shape[2:]), rays
     )
     n_dev = len(mesh.devices.flat)
+    n_proc = jax.process_count()
+    pi = jax.process_index()
     outs = []
     for start in range(0, h * w, chunk_size):
         chunk = jax.tree_util.tree_map(
             lambda r: r[start : start + chunk_size], flat
         )
         chunk, pad = rays_lib.pad_to_multiple(chunk, n_dev)
+        if n_proc > 1:
+            def local_slice(r):
+                per = r.shape[0] // n_proc
+                return r[pi * per : (pi + 1) * per]
+
+            chunk = jax.tree_util.tree_map(local_slice, chunk)
         chunk = parallel.shard_batch(chunk, mesh)
         out = render_chunk(params, chunk, aux)
         out = jax.device_get(out)
