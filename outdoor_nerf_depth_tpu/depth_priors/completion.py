@@ -134,12 +134,14 @@ class MMAF(nn.Module):
         gates = nn.Dense(2 * self.features, dtype=self.dtype)(hidden)
         g2d = nn.sigmoid(gates[:, : self.features])[:, None, None, :]
         d2g = nn.sigmoid(gates[:, self.features :])[:, None, None, :]
-        new_depth = depth_feat + nn.Conv(
-            self.features, (3, 3), padding="SAME", dtype=self.dtype
-        )(guide_feat * g2d)
-        new_guide = guide_feat + nn.Conv(
-            self.features, (3, 3), padding="SAME", dtype=self.dtype
-        )(depth_feat * d2g)
+        # Zero-init the residual output convs: the block starts as identity
+        # and learns the cross-modal injection (residual-branch discipline).
+        zconv = lambda name: nn.Conv(
+            self.features, (3, 3), padding="SAME", dtype=self.dtype,
+            kernel_init=jax.nn.initializers.zeros, name=name,
+        )
+        new_depth = depth_feat + zconv("inject_g2d")(guide_feat * g2d)
+        new_guide = guide_feat + zconv("inject_d2g")(depth_feat * d2g)
         return new_guide, new_depth
 
 

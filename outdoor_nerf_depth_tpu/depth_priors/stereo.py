@@ -164,16 +164,17 @@ class StereoNet(nn.Module):
             # "pyramid combination + warping" that distinguishes it from
             # CFNet's purely cascaded ranges.
             r8_warp = warp_by_disparity(r8, disp8)
-            woffs = jnp.arange(-4.0, 5.0)
+            woff_list = list(range(-4, 5))
+            woffs = jnp.asarray(woff_list, jnp.float32)
             wslices = [
                 groupwise_correlation(
                     l8,
-                    shift_right_features(r8_warp, int(o))
+                    shift_right_features(r8_warp, o)
                     if o >= 0
-                    else shift_left_features(r8_warp, int(-o)),
+                    else shift_left_features(r8_warp, -o),
                     self.num_groups,
                 )
-                for o in woffs
+                for o in woff_list
             ]
             wvol = jnp.stack(wslices, axis=1)
             wlogits = CostVolumeStage(

@@ -204,6 +204,7 @@ class HashGridModel(nn.Module):
         occupancy: Optional[jax.Array] = None,
     ):
         del train_frac, zero_glo
+        rays = self._refine_rays(rays)
         e_max = float(occ.cascade_extents(self.scale)[-1])
         # March along unit directions so t is metric distance.
         t_near, t_far, hit = occ.intersect_aabb(
@@ -314,6 +315,7 @@ class HashGridModel(nn.Module):
         Returns the eval rendering dict (rgb, depth, distance_mean, acc,
         samples_per_ray, rounds).
         """
+        rays = self._refine_rays(rays)
         e_max = float(occ.cascade_extents(self.scale)[-1])
         exp_factor = 0.0 if self.scale <= 0.5 else 1.0 / 256.0
         n_cand = self.eval_candidates_per_round

@@ -69,24 +69,13 @@ _CORNERS = np.array(
 )
 
 
-def encode(x, table, resolutions, table_size: int):
-    """Hash-encode unit-cube positions.
+def _corner_indices_weights(x, resolutions, table_size: int):
+    """Per-level corner hash indices + trilinear weights.
 
-    Args:
-      x: [..., 3] positions in [0, 1] (caller contracts/normalizes).
-      table: [L, T, F] feature table.
-      resolutions: static [L] per-level grid resolutions.
-      table_size: T (power of two).
-
-    Returns [..., L * F] interpolated features.
-
-    All levels' corner lookups are folded into ONE gather over the
-    flattened [L*T, F] table (index arithmetic per level is fused VPU
-    work): one gather HLO + one transpose scatter-add in backward instead
-    of L of each, which measures meaningfully faster than a
-    per-level-`take` loop on TPU.
+    Returns (idx [..., L, 8] into the flattened [L*T] table,
+             w [..., L, 8] trilinear weights).
     """
-    n_levels, _, n_feats = table.shape
+    n_levels = len(resolutions)
     x = jnp.clip(x, 0.0, 1.0)
     idx_levels, w_levels = [], []
     for level in range(n_levels):
@@ -108,11 +97,43 @@ def encode(x, table, resolutions, table_size: int):
                 axis=-1,
             )
         )  # [..., 8]
+    return jnp.stack(idx_levels, axis=-2), jnp.stack(w_levels, axis=-2)
 
-    idx_all = jnp.stack(idx_levels, axis=-2)  # [..., L, 8]
-    w_all = jnp.stack(w_levels, axis=-2)  # [..., L, 8]
-    flat_table = table.reshape(-1, n_feats)  # [L*T, F]
-    feats = jnp.take(flat_table, idx_all, axis=0)  # [..., L, 8, F]
+
+def encode(x, table, resolutions, table_size: int, pack_rows: int = 0):
+    """Hash-encode unit-cube positions.
+
+    Args:
+      x: [..., 3] positions in [0, 1] (caller contracts/normalizes).
+      table: [L, T, F] feature table.
+      resolutions: static [L] per-level grid resolutions.
+      table_size: T (power of two).
+      pack_rows: 0 gathers [F]-wide rows directly. P > 0 views the table as
+        [L*T/P, P*F] and gathers full lane-width rows, then selects the
+        bucket's F lanes — TPU HBM gathers of tiny rows (F=2 -> 8 bytes) run
+        two orders of magnitude below bandwidth, while 128-lane rows gather
+        at full speed; the P*F-row layout trades P-fold read amplification
+        for that granularity (P=64, F=2 -> 128 lanes).
+
+    Returns [..., L * F] interpolated features.
+
+    All levels' corner lookups are folded into ONE gather over the
+    flattened table (index arithmetic per level is fused VPU work): one
+    gather HLO + one transpose scatter-add in backward instead of L of
+    each.
+    """
+    n_levels, _, n_feats = table.shape
+    idx_all, w_all = _corner_indices_weights(x, resolutions, table_size)
+
+    if pack_rows > 1:
+        p = pack_rows
+        packed = table.reshape(-1, p * n_feats)  # [L*T/P, P*F]
+        rows = jnp.take(packed, idx_all // p, axis=0)  # [..., L, 8, P*F]
+        lane = (idx_all % p)[..., None] * n_feats + jnp.arange(n_feats)
+        feats = jnp.take_along_axis(rows, lane, axis=-1)  # [..., L, 8, F]
+    else:
+        flat_table = table.reshape(-1, n_feats)  # [L*T, F]
+        feats = jnp.take(flat_table, idx_all, axis=0)  # [..., L, 8, F]
     out = jnp.sum(w_all[..., None] * feats, axis=-2)  # [..., L, F]
     return out.reshape(out.shape[:-2] + (n_levels * n_feats,))
 
@@ -126,6 +147,10 @@ class HashGridEncoding(nn.Module):
     base_resolution: int = 16
     max_resolution: int = 2048  # 2048 * scene scale in the reference
     init_scale: float = 1e-4
+    # Gather granularity (see `encode`): rows of pack_rows*n_features lanes.
+    # -1 auto-selects 128 lanes on TPU (measured ~100x gather speedup at
+    # F=2) and no packing elsewhere; 0 disables packing.
+    pack_rows: int = -1
     compute_dtype: Any = jnp.float32
 
     @property
@@ -152,9 +177,14 @@ class HashGridEncoding(nn.Module):
         # serial while-loop over the full corner buffer (measured: 6.7 TB
         # of HBM traffic per 8192-ray step). Only the output feature
         # vector is cast for the MXU.
-        return encode(x, table, resolutions, table_size).astype(
-            self.compute_dtype
-        )
+        pack = self.pack_rows
+        if pack < 0:
+            pack = 128 // self.n_features if jax.default_backend() == "tpu" else 0
+        if pack > 1 and (self.n_levels * table_size) % pack:
+            pack = 0
+        return encode(
+            x, table, resolutions, table_size, pack_rows=pack
+        ).astype(self.compute_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dim",))

@@ -221,3 +221,64 @@ class TestInvertedSphereModel:
 def test_build_rejects_unknown():
     with pytest.raises(ValueError):
         models.build("gaussian_splats")
+
+
+class TestLearnedExposureScaling:
+    """Per-image rgb scaling offsets (reference models.py:66-121, 229-262)."""
+
+    def test_param_exists_and_gets_gradient(self):
+        from outdoor_nerf_depth_tpu.models.mipnerf360 import ProposalModel
+
+        model = ProposalModel(
+            num_prop_samples=8, num_nerf_samples=4, num_levels=2,
+            learned_exposure_scaling=True, num_glo_embeddings=4,
+            nerf_mlp_params=dict(net_depth=2, net_width=16,
+                                 bottleneck_width=8, net_width_viewdirs=8,
+                                 max_deg_point=4),
+            prop_mlp_params=dict(net_depth=2, net_width=16, max_deg_point=4),
+        )
+        rays = _unit_sphere_rays(n=8, seed=30)
+        variables = model.init(jax.random.PRNGKey(0), rng=None, rays=rays,
+                               train_frac=1.0, compute_extras=False,
+                               zero_glo=False)
+        flat = {jax.tree_util.keystr(p): x
+                for p, x in jax.tree_util.tree_leaves_with_path(variables)}
+        assert any("exposure_scaling" in k for k in flat)
+
+        def loss(v):
+            renderings, _ = model.apply(v, None, rays, zero_glo=False)
+            return jnp.mean((renderings[-1]["rgb"] - 0.2) ** 2)
+
+        g = jax.grad(loss)(variables)
+        gflat = {jax.tree_util.keystr(p): x
+                 for p, x in jax.tree_util.tree_leaves_with_path(g)}
+        g_expo = [v for k, v in gflat.items() if "exposure_scaling" in k][0]
+        assert float(jnp.abs(g_expo).sum()) > 0
+
+    def test_zero_glo_disables_scaling(self):
+        from outdoor_nerf_depth_tpu.models.mipnerf360 import ProposalModel
+
+        model = ProposalModel(
+            num_prop_samples=8, num_nerf_samples=4, num_levels=2,
+            learned_exposure_scaling=True, num_glo_embeddings=4,
+            nerf_mlp_params=dict(net_depth=2, net_width=16,
+                                 bottleneck_width=8, net_width_viewdirs=8,
+                                 max_deg_point=4),
+            prop_mlp_params=dict(net_depth=2, net_width=16, max_deg_point=4),
+        )
+        rays = _unit_sphere_rays(n=8, seed=31)
+        variables = model.init(jax.random.PRNGKey(0), rng=None, rays=rays,
+                               train_frac=1.0, compute_extras=False,
+                               zero_glo=False)
+        # Perturb the offsets: eval path (zero_glo=True) must be unaffected.
+        v2 = jax.tree_util.tree_map(lambda x: x, variables)
+        v2["params"]["exposure_scaling"]["embedding"] = (
+            v2["params"]["exposure_scaling"]["embedding"] + 0.5
+        )
+        a, _ = model.apply(variables, None, rays, zero_glo=True)
+        b, _ = model.apply(v2, None, rays, zero_glo=True)
+        np.testing.assert_array_equal(
+            np.asarray(a[-1]["rgb"]), np.asarray(b[-1]["rgb"])
+        )
+        c, _ = model.apply(v2, None, rays, zero_glo=False)
+        assert not np.allclose(np.asarray(a[-1]["rgb"]), np.asarray(c[-1]["rgb"]))

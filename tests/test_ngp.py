@@ -50,6 +50,24 @@ class TestHashGrid:
         touched = np.count_nonzero(np.abs(table_grad).sum(-1))
         assert 0 < touched <= 8  # exactly the 8 corners of one cell
 
+    def test_packed_gather_layout_is_exact(self):
+        # The TPU wide-row gather layout (encode pack_rows) must reproduce
+        # the plain [F]-row gather bit-for-bit: same values, different
+        # fetch granularity.
+        rng = jax.random.PRNGKey(5)
+        x = jax.random.uniform(rng, (257, 3))
+        table = jax.random.normal(rng, (4, 2**10, 2))
+        res = hashgrid.level_resolutions(4, 4, 32)
+        a = hashgrid.encode(x, table, res, 2**10, pack_rows=0)
+        b = hashgrid.encode(x, table, res, 2**10, pack_rows=64)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # Gradients agree too (scatter via wide rows).
+        ga = jax.grad(lambda t: jnp.sum(
+            hashgrid.encode(x, t, res, 2**10, pack_rows=0) ** 2))(table)
+        gb = jax.grad(lambda t: jnp.sum(
+            hashgrid.encode(x, t, res, 2**10, pack_rows=64) ** 2))(table)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-6)
+
     def test_dense_levels_interpolate_exactly(self):
         # A coarse level with injective indexing behaves as a voxel grid:
         # value at a corner equals its table entry.
@@ -463,4 +481,66 @@ class TestCalcDt:
         dt = occ.calc_dt(jnp.array([5.0]), 0.0, 1024, 128, 0.5)
         np.testing.assert_allclose(
             np.asarray(dt), [np.sqrt(3.0) / 1024], rtol=1e-6
+        )
+
+
+class TestPoseRefinement:
+    """optimize_ext: learnable per-image SE(3) deltas (reference opt.py:58)."""
+
+    def test_pose_params_receive_gradient(self):
+        from tests.test_models import _unit_sphere_rays
+
+        model = ngp.HashGridModel(
+            scale=0.5, max_samples=8, n_candidates=32,
+            optimize_ext=True, num_images=4,
+            field_params=dict(n_levels=2, log2_table_size=10,
+                              base_resolution=4, max_resolution=16,
+                              hidden_width=16, geo_features=7),
+        )
+        rays = _unit_sphere_rays(n=8, seed=21)
+        variables = model.init(jax.random.PRNGKey(0), rng=None, rays=rays,
+                               train_frac=1.0, compute_extras=False)
+        flat = {jax.tree_util.keystr(p): x
+                for p, x in jax.tree_util.tree_leaves_with_path(variables)}
+        assert any("pose_dR" in k for k in flat)
+        assert any("pose_dT" in k for k in flat)
+
+        def loss(v):
+            renderings, _ = model.apply(v, None, rays)
+            return jnp.mean((renderings[-1]["rgb"] - 0.3) ** 2) + jnp.mean(
+                renderings[-1]["depth"]
+            )
+
+        g = jax.grad(loss)(variables)
+        gflat = {jax.tree_util.keystr(p): x
+                 for p, x in jax.tree_util.tree_leaves_with_path(g)}
+        g_dt = [v for k, v in gflat.items() if "pose_dT" in k][0]
+        assert np.all(np.isfinite(np.asarray(g_dt)))
+        assert float(jnp.abs(g_dt).sum()) > 0
+
+    def test_nonzero_delta_moves_rays(self):
+        from tests.test_models import _unit_sphere_rays
+
+        model = ngp.HashGridModel(
+            scale=0.5, max_samples=8, n_candidates=32,
+            optimize_ext=True, num_images=4,
+            field_params=dict(n_levels=2, log2_table_size=10,
+                              base_resolution=4, max_resolution=16,
+                              hidden_width=16, geo_features=7),
+        )
+        rays = _unit_sphere_rays(n=8, seed=22)
+        variables = model.init(jax.random.PRNGKey(0), rng=None, rays=rays,
+                               train_frac=1.0, compute_extras=False)
+        base, _ = model.apply(variables, None, rays)
+
+        import flax
+
+        v2 = flax.core.unfreeze(variables) if hasattr(flax.core, "unfreeze") else dict(variables)
+        v2 = jax.tree_util.tree_map(lambda x: x, variables)
+        v2["params"]["pose_dT"]["embedding"] = (
+            v2["params"]["pose_dT"]["embedding"] + 0.05
+        )
+        moved, _ = model.apply(v2, None, rays)
+        assert not np.allclose(
+            np.asarray(base[-1]["depth"]), np.asarray(moved[-1]["depth"])
         )
