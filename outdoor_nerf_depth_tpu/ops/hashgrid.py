@@ -138,6 +138,112 @@ def encode(x, table, resolutions, table_size: int, pack_rows: int = 0):
     return out.reshape(out.shape[:-2] + (n_levels * n_feats,))
 
 
+def _collision_free_row_sums(flat_idx, vals, n_rows: int, dummy_spread: int = 65536):
+    """Sum `vals` rows by index without scatter-add collisions.
+
+    TPU scatter-add serializes on colliding rows; a dense coarse hash level
+    funnels ~1e5 updates into each of a few thousand rows, which is the
+    measured 5+ s NGP backward. This reduction sorts (index, value) pairs
+    (multi-operand lax.sort carries the payload, avoiding a 67M-row
+    re-gather), forms an inclusive cumulative sum, and scatter-*sets* each
+    run's boundary cumsums to its row — every real row is written by
+    exactly one lane, so no RMW serialization. Non-boundary lanes write to
+    spread dummy rows that are discarded.
+
+    Args:
+      flat_idx: [M] int32 row ids in [0, n_rows).
+      vals: [M, F] float32 contributions.
+    Returns [n_rows, F] per-row sums.
+    """
+    m = flat_idx.shape[0]
+    f = vals.shape[-1]
+    operands = (flat_idx,) + tuple(vals[:, i] for i in range(f))
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    si = sorted_ops[0]
+    sv = jnp.stack(sorted_ops[1:], axis=-1)
+    csum = jnp.cumsum(sv.astype(jnp.float32), axis=0)
+
+    change = si[1:] != si[:-1]
+    last = jnp.concatenate([change, jnp.ones((1,), bool)])
+    first = jnp.concatenate([jnp.ones((1,), bool), change])
+    prev_csum = jnp.concatenate([jnp.zeros((1, f), csum.dtype), csum[:-1]], 0)
+
+    # Dummy rows spread the non-boundary writes so no row sees a pileup.
+    dummies = n_rows + (jnp.arange(m, dtype=jnp.int32) % dummy_spread)
+    end_tgt = jnp.where(last, si, dummies)
+    start_tgt = jnp.where(first, si, dummies)
+    buf_shape = (n_rows + dummy_spread, f)
+    end_buf = jnp.zeros(buf_shape, jnp.float32).at[end_tgt].set(
+        jnp.where(last[:, None], csum, 0.0), mode="drop"
+    )
+    start_buf = jnp.zeros(buf_shape, jnp.float32).at[start_tgt].set(
+        jnp.where(first[:, None], prev_csum, 0.0), mode="drop"
+    )
+    return (end_buf - start_buf)[:n_rows]
+
+
+@functools.lru_cache(maxsize=None)
+def _sorted_grad_encode(resolutions_key: tuple, table_size: int):
+    """encode() wrapped in a custom VJP: gather forward, sorted
+    collision-free reduction for the table gradient, analytic trilinear
+    derivative for the position gradient (serves optimize_ext)."""
+    resolutions = np.asarray(resolutions_key, np.int32)
+    n_levels = len(resolutions_key)
+
+    @jax.custom_vjp
+    def fn(x, table):
+        return encode(x, table, resolutions, table_size)
+
+    def fwd(x, table):
+        n_feats = table.shape[-1]
+        idx_all, w_all = _corner_indices_weights(x, resolutions, table_size)
+        flat_table = table.reshape(-1, n_feats)
+        feats = jnp.take(flat_table, idx_all, axis=0)  # [..., L, 8, F]
+        out = jnp.sum(w_all[..., None] * feats, axis=-2)
+        out = out.reshape(out.shape[:-2] + (n_levels * n_feats,))
+        return out, (x, idx_all, w_all, feats, table.shape)
+
+    def bwd(res, g):
+        x, idx_all, w_all, feats, table_shape = res
+        n_feats = table_shape[-1]
+        g_lf = g.reshape(g.shape[:-1] + (n_levels, n_feats))
+
+        vals = w_all[..., None] * g_lf[..., None, :]  # [..., L, 8, F]
+        flat_idx = idx_all.reshape(-1)
+        flat_vals = vals.reshape(-1, n_feats)
+        dtable = _collision_free_row_sums(
+            flat_idx, flat_vals, n_levels * table_size
+        ).reshape(table_shape)
+
+        # dL/dx via the analytic trilinear-weight derivative:
+        # w = prod_d f_d with f_d = frac_d (corner bit 1) else 1 - frac_d;
+        # dw/dx_d = res * sign_d * prod_{d' != d} f_{d'}.
+        s = jnp.sum(g_lf[..., None, :] * feats, axis=-1)  # [..., L, 8]
+        xc = jnp.clip(x, 0.0, 1.0)
+        dx = jnp.zeros_like(x)
+        for level in range(n_levels):
+            r = float(resolutions_key[level])
+            pos = xc * r
+            cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, int(r) - 1)
+            frac = pos - cell  # [..., 3]
+            fd = jnp.where(
+                _CORNERS[:, :] == 1, frac[..., None, :], 1.0 - frac[..., None, :]
+            )  # [..., 8, 3]
+            sign = jnp.where(_CORNERS[:, :] == 1, 1.0, -1.0)
+            # prod over d' != d, exact (no divide-by-zero at cell faces).
+            f0, f1, f2 = fd[..., 0], fd[..., 1], fd[..., 2]
+            others = jnp.stack([f1 * f2, f0 * f2, f0 * f1], axis=-1)
+            dw_dx = r * sign * others  # [..., 8, 3]
+            dx = dx + jnp.sum(s[..., level, :, None] * dw_dx, axis=-2)
+        # Clip boundary: positions at/past the clamp get zero gradient.
+        in_range = (x > 0.0) & (x < 1.0)
+        dx = jnp.where(in_range, dx, 0.0)
+        return dx, dtable
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 class HashGridEncoding(nn.Module):
     """Learnable multiresolution hash encoding as a flax module."""
 
@@ -147,10 +253,19 @@ class HashGridEncoding(nn.Module):
     base_resolution: int = 16
     max_resolution: int = 2048  # 2048 * scene scale in the reference
     init_scale: float = 1e-4
-    # Gather granularity (see `encode`): rows of pack_rows*n_features lanes.
-    # -1 auto-selects 128 lanes on TPU (measured ~100x gather speedup at
-    # F=2) and no packing elsewhere; 0 disables packing.
-    pack_rows: int = -1
+    # Gather granularity experiment (see `encode`): rows of
+    # pack_rows*n_features lanes. Default OFF — XLA lowers the packed
+    # lane-select (take_along_axis) by materializing a [N, L, 8, F, 4] s32
+    # index tensor (64 GB at the KITTI shape; TPU compile rejects it), and
+    # TPU gather cost is per-row rather than per-byte anyway, so packing
+    # buys nothing. Kept (with an exactness test) as documentation of the
+    # measured dead end.
+    pack_rows: int = 0
+    # Table-gradient path: "auto" uses the sorted collision-free reduction
+    # (`_sorted_grad_encode`) on TPU — where scatter-add serializes on the
+    # colliding coarse-level rows — and plain AD scatter elsewhere;
+    # "sorted"/"scatter" force a path.
+    grad_mode: str = "auto"
     compute_dtype: Any = jnp.float32
 
     @property
@@ -177,14 +292,20 @@ class HashGridEncoding(nn.Module):
         # serial while-loop over the full corner buffer (measured: 6.7 TB
         # of HBM traffic per 8192-ray step). Only the output feature
         # vector is cast for the MXU.
-        pack = self.pack_rows
-        if pack < 0:
-            pack = 128 // self.n_features if jax.default_backend() == "tpu" else 0
+        pack = max(self.pack_rows, 0)
         if pack > 1 and (self.n_levels * table_size) % pack:
             pack = 0
-        return encode(
-            x, table, resolutions, table_size, pack_rows=pack
-        ).astype(self.compute_dtype)
+        use_sorted = self.grad_mode == "sorted" or (
+            self.grad_mode == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_sorted and pack == 0:
+            fn = _sorted_grad_encode(
+                tuple(int(r) for r in resolutions), table_size
+            )
+            out = fn(x, table)
+        else:
+            out = encode(x, table, resolutions, table_size, pack_rows=pack)
+        return out.astype(self.compute_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("out_dim",))

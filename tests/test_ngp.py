@@ -68,6 +68,51 @@ class TestHashGrid:
             hashgrid.encode(x, t, res, 2**10, pack_rows=64) ** 2))(table)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-6)
 
+    def test_sorted_grad_matches_autodiff(self):
+        """The collision-free sorted table gradient and the analytic
+        position gradient must match plain AD through the scatter path."""
+        rng = jax.random.PRNGKey(6)
+        x = jax.random.uniform(rng, (97, 3), minval=0.01, maxval=0.99)
+        table = jax.random.normal(jax.random.fold_in(rng, 1), (4, 2**10, 2))
+        res = hashgrid.level_resolutions(4, 4, 32)
+        fn = hashgrid._sorted_grad_encode(tuple(int(r) for r in res), 2**10)
+
+        out_sorted = fn(x, table)
+        out_plain = hashgrid.encode(x, table, res, 2**10)
+        np.testing.assert_allclose(
+            np.asarray(out_sorted), np.asarray(out_plain), rtol=1e-6
+        )
+
+        def loss_sorted(x, t):
+            return jnp.sum(jnp.sin(3.0 * fn(x, t)))
+
+        def loss_plain(x, t):
+            return jnp.sum(jnp.sin(3.0 * hashgrid.encode(x, t, res, 2**10)))
+
+        gx_s, gt_s = jax.grad(loss_sorted, argnums=(0, 1))(x, table)
+        gx_p, gt_p = jax.grad(loss_plain, argnums=(0, 1))(x, table)
+        # The run-boundary prefix-sum reduction computes each row as a
+        # difference of two large cumsums — f32 cancellation bounds the
+        # agreement to ~1e-4 absolute (<< SGD gradient noise; tcnn
+        # accumulates table grads in fp16).
+        np.testing.assert_allclose(
+            np.asarray(gt_s), np.asarray(gt_p), rtol=1e-2, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gx_s), np.asarray(gx_p), rtol=1e-4, atol=1e-5
+        )
+
+    def test_collision_free_row_sums(self):
+        rng = np.random.default_rng(7)
+        idx = jnp.asarray(rng.integers(0, 50, (4096,)), jnp.int32)
+        vals = jnp.asarray(rng.normal(size=(4096, 2)), jnp.float32)
+        got = hashgrid._collision_free_row_sums(idx, vals, 50,
+                                                dummy_spread=128)
+        want = np.zeros((50, 2), np.float32)
+        np.add.at(want, np.asarray(idx), np.asarray(vals))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
+                                   atol=1e-4)
+
     def test_dense_levels_interpolate_exactly(self):
         # A coarse level with injective indexing behaves as a voxel grid:
         # value at a corner equals its table entry.
