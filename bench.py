@@ -330,12 +330,14 @@ def bench_ngp_eval():
             config.replace(ngp_eval_renderer=mode), model, mesh
         )
         r = render(params, chunk, grid)
-        jax.block_until_ready(r["rgb"])
+        # Fetch (not just block) each iteration: the tunneled backend can
+        # defer unconsumed outputs, which fakes unchained timing loops.
+        float(jnp.sum(r["rgb"]))
         n_meas = 10
         t0 = time.perf_counter()
         for _ in range(n_meas):
             r = render(params, chunk, grid)
-        jax.block_until_ready(r["rgb"])
+            float(jnp.sum(r["rgb"]))
         dt = time.perf_counter() - t0
         out[f"{mode}_rays_per_sec_per_chip"] = round(
             batch * n_meas / dt / n_chips, 1

@@ -138,17 +138,25 @@ def encode(x, table, resolutions, table_size: int, pack_rows: int = 0):
     return out.reshape(out.shape[:-2] + (n_levels * n_feats,))
 
 
-def _collision_free_row_sums(flat_idx, vals, n_rows: int, dummy_spread: int = 65536):
-    """Sum `vals` rows by index without scatter-add collisions.
+def _sorted_row_sums(flat_idx, vals, n_rows: int):
+    """Sum `vals` rows by index with NO scatter (TPU scatter-free segsum).
 
-    TPU scatter-add serializes on colliding rows; a dense coarse hash level
-    funnels ~1e5 updates into each of a few thousand rows, which is the
-    measured 5+ s NGP backward. This reduction sorts (index, value) pairs
-    (multi-operand lax.sort carries the payload, avoiding a 67M-row
-    re-gather), forms an inclusive cumulative sum, and scatter-*sets* each
-    run's boundary cumsums to its row — every real row is written by
-    exactly one lane, so no RMW serialization. Non-boundary lanes write to
-    spread dummy rows that are discarded.
+    Measured on the v5e: XLA scatter-add costs ~80 ns per scattered row
+    regardless of uniqueness or collisions (67M-row table gradients = 5.5 s
+    per NGP step), while 67M-key multi-operand `lax.sort` is 0.37 s and a
+    67Mx2 cumsum 0.06 s. So the gradient reduction is reformulated with no
+    scatter at all:
+
+      1. append one zero-valued *sentinel* entry per table row,
+      2. one stable sort by row id (data entries precede their sentinel),
+      3. inclusive cumsum of the sorted values — each sentinel now carries
+         the cumulative sum through ALL entries of rows <= its own,
+      4. one stable binary-partition sort on the sentinel flag compacts the
+         sentinels (already in row order) to the front,
+      5. per-row sums = adjacent differences of the compacted cumsums.
+
+    Cost: two sorts + one cumsum + elementwise — ~1 s at the NGP KITTI
+    shape vs 5.5 s for scatter-add, and collision-pattern independent.
 
     Args:
       flat_idx: [M] int32 row ids in [0, n_rows).
@@ -157,36 +165,37 @@ def _collision_free_row_sums(flat_idx, vals, n_rows: int, dummy_spread: int = 65
     """
     m = flat_idx.shape[0]
     f = vals.shape[-1]
-    operands = (flat_idx,) + tuple(vals[:, i] for i in range(f))
-    sorted_ops = jax.lax.sort(operands, num_keys=1)
-    si = sorted_ops[0]
-    sv = jnp.stack(sorted_ops[1:], axis=-1)
-    csum = jnp.cumsum(sv.astype(jnp.float32), axis=0)
-
-    change = si[1:] != si[:-1]
-    last = jnp.concatenate([change, jnp.ones((1,), bool)])
-    first = jnp.concatenate([jnp.ones((1,), bool), change])
-    prev_csum = jnp.concatenate([jnp.zeros((1, f), csum.dtype), csum[:-1]], 0)
-
-    # Dummy rows spread the non-boundary writes so no row sees a pileup.
-    dummies = n_rows + (jnp.arange(m, dtype=jnp.int32) % dummy_spread)
-    end_tgt = jnp.where(last, si, dummies)
-    start_tgt = jnp.where(first, si, dummies)
-    buf_shape = (n_rows + dummy_spread, f)
-    end_buf = jnp.zeros(buf_shape, jnp.float32).at[end_tgt].set(
-        jnp.where(last[:, None], csum, 0.0), mode="drop"
+    keys = jnp.concatenate(
+        [flat_idx.astype(jnp.int32), jnp.arange(n_rows, dtype=jnp.int32)]
     )
-    start_buf = jnp.zeros(buf_shape, jnp.float32).at[start_tgt].set(
-        jnp.where(first[:, None], prev_csum, 0.0), mode="drop"
+    flag = jnp.concatenate(
+        [jnp.zeros((m,), jnp.int32), jnp.ones((n_rows,), jnp.int32)]
     )
-    return (end_buf - start_buf)[:n_rows]
+    vpad = jnp.concatenate(
+        [vals.astype(jnp.float32), jnp.zeros((n_rows, f), jnp.float32)]
+    )
+    ops = jax.lax.sort(
+        (keys, flag) + tuple(vpad[:, i] for i in range(f)),
+        num_keys=1,
+        is_stable=True,
+    )
+    s_flag = ops[1]
+    csum = jnp.cumsum(jnp.stack(ops[2:], axis=-1), axis=0)
+    ops2 = jax.lax.sort(
+        (1 - s_flag,) + tuple(csum[:, i] for i in range(f)),
+        num_keys=1,
+        is_stable=True,
+    )
+    s_csum = jnp.stack(ops2[1:], axis=-1)[:n_rows]
+    prev = jnp.concatenate([jnp.zeros((1, f), s_csum.dtype), s_csum[:-1]], 0)
+    return s_csum - prev
 
 
 @functools.lru_cache(maxsize=None)
 def _sorted_grad_encode(resolutions_key: tuple, table_size: int):
-    """encode() wrapped in a custom VJP: gather forward, sorted
-    collision-free reduction for the table gradient, analytic trilinear
-    derivative for the position gradient (serves optimize_ext)."""
+    """encode() wrapped in a custom VJP: gather forward, scatter-free
+    sorted-segment table gradient (see `_sorted_row_sums`), analytic
+    trilinear derivative for the position gradient (serves optimize_ext)."""
     resolutions = np.asarray(resolutions_key, np.int32)
     n_levels = len(resolutions_key)
 
@@ -209,10 +218,9 @@ def _sorted_grad_encode(resolutions_key: tuple, table_size: int):
         g_lf = g.reshape(g.shape[:-1] + (n_levels, n_feats))
 
         vals = w_all[..., None] * g_lf[..., None, :]  # [..., L, 8, F]
-        flat_idx = idx_all.reshape(-1)
-        flat_vals = vals.reshape(-1, n_feats)
-        dtable = _collision_free_row_sums(
-            flat_idx, flat_vals, n_levels * table_size
+        dtable = _sorted_row_sums(
+            idx_all.reshape(-1), vals.reshape(-1, n_feats),
+            n_levels * table_size,
         ).reshape(table_shape)
 
         # dL/dx via the analytic trilinear-weight derivative:
@@ -261,10 +269,11 @@ class HashGridEncoding(nn.Module):
     # buys nothing. Kept (with an exactness test) as documentation of the
     # measured dead end.
     pack_rows: int = 0
-    # Table-gradient path: "auto" uses the sorted collision-free reduction
-    # (`_sorted_grad_encode`) on TPU — where scatter-add serializes on the
-    # colliding coarse-level rows — and plain AD scatter elsewhere;
-    # "sorted"/"scatter" force a path.
+    # Table-gradient path. "scatter" = plain AD (XLA scatter-add, ~80 ns
+    # per scattered row on TPU -> 5.5 s/step at the KITTI NGP shape).
+    # "sorted" = custom VJP with the scatter-free sorted-segment reduction
+    # (`_sorted_row_sums`, ~1 s at the same shape). "auto" = sorted on
+    # TPU, scatter elsewhere.
     grad_mode: str = "auto"
     compute_dtype: Any = jnp.float32
 
