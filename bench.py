@@ -293,7 +293,7 @@ def bench_ngp_eval():
 
     batch = 8192
     config, dataset, mesh, model, state, occ_lib, step_lib = _ngp_setup(
-        batch, max_samples=128
+        batch, max_samples=64
     )
     n_chips = len(mesh.devices.flat)
     params = jax.device_get(state.params)

@@ -126,7 +126,10 @@ class HashGridModel(nn.Module):
     grid_resolution: int = 128
     max_samples: int = 128
     n_candidates: int = 512
-    exponential_steps: bool = True
+    # None follows the reference rule (`rendering.py:34-37`): exponential
+    # (distance-proportional) steps only for unbounded scenes (scale > 0.5);
+    # bounded scenes march at constant dt (exp_step_factor = 0).
+    exponential_steps: Optional[bool] = None
     near_distance: float = 0.01
     density_threshold: float = 0.01
     bg_intensity_range: Tuple[float, float] = (0.0, 0.0)
@@ -216,8 +219,13 @@ class HashGridModel(nn.Module):
         )
 
         key, rng = (None, None) if rng is None else tuple(jax.random.split(rng))
+        exponential = (
+            self.scale > 0.5
+            if self.exponential_steps is None
+            else self.exponential_steps
+        )
         edges = occ.march_candidates(
-            key, t_near, t_far, self.n_candidates, self.exponential_steps
+            key, t_near, t_far, self.n_candidates, exponential
         )
         mids_all = 0.5 * (edges[..., :-1] + edges[..., 1:])
         pts_all = (
@@ -369,7 +377,11 @@ class HashGridModel(nn.Module):
                                   self.density_threshold)
             occupied &= (mids < t_far[..., None]) & s["alive"][..., None]
 
-            t_mid, dt, valid = occ.compact_occupied(edges, occupied, n_samp)
+            # subsample=False: over-budget windows are exactly revisited
+            # next round (t only advances past the last rendered sample).
+            t_mid, dt, valid = occ.compact_occupied(
+                edges, occupied, n_samp, subsample=False
+            )
             sample_pts = (
                 rays.origins[..., None, :]
                 + t_mid[..., None] * rays.viewdirs[..., None, :]

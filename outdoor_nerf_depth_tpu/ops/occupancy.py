@@ -363,20 +363,39 @@ def march_candidates(
     return edges
 
 
-def compact_occupied(edges, occupied, max_samples: int):
-    """Select the first `max_samples` occupied candidate intervals per ray.
+def compact_occupied(edges, occupied, max_samples: int, subsample: bool = True):
+    """Select up to `max_samples` occupied candidate intervals per ray.
+
+    When a ray has more occupied candidates than the budget, taking the
+    *first* K would truncate integration to the near end of the ray — with
+    a dense (e.g. freshly warmed-up) grid that trains per-view billboards
+    in front of each camera instead of scene geometry. With `subsample`,
+    rays over budget instead keep every k-th occupied candidate
+    (k = ceil(n_occupied / K)) so the selection spans the full segment, and
+    the selected intervals' dt is scaled by k — a piecewise-constant
+    quadrature over the skipped span (coarse early, exact once the grid
+    sparsifies below the budget).
 
     Args:
       edges: [..., C+1] candidate interval edges (sorted).
       occupied: [..., C] bool per candidate interval.
       max_samples: static K.
+      subsample: stride-subsample over-budget rays (see above) instead of
+        truncating to the nearest K.
 
     Returns (t_mid [..., K], dt [..., K], valid [..., K]): the marching
     output in dense static shape. Unoccupied-starved rays get valid=False
     tails (zero-weight in compositing). One stable argsort per ray replaces
     the reference's atomic sample allocator.
     """
-    n = occupied.shape[-1]
+    dt_scale = 1.0
+    if subsample:
+        n_occ = jnp.sum(occupied, axis=-1, keepdims=True)
+        k = jnp.maximum((n_occ + max_samples - 1) // max_samples, 1)
+        rank = jnp.cumsum(occupied, axis=-1) - 1
+        occupied = occupied & (rank % k == 0)
+        dt_scale = k.astype(jnp.float32)
+
     order = jnp.argsort(jnp.where(occupied, 0, 1), axis=-1, stable=True)
     take = order[..., :max_samples]
     t0 = jnp.take_along_axis(edges[..., :-1], take, axis=-1)
@@ -384,5 +403,5 @@ def compact_occupied(edges, occupied, max_samples: int):
     valid = jnp.take_along_axis(occupied, take, axis=-1)
     # Keep marching order: selected indices ascend because the sort is stable.
     t_mid = 0.5 * (t0 + t1)
-    dt = t1 - t0
+    dt = (t1 - t0) * dt_scale
     return jnp.where(valid, t_mid, 0.0), jnp.where(valid, dt, 0.0), valid

@@ -69,6 +69,103 @@ def bilinear_demosaic(bayer: np.ndarray) -> np.ndarray:
     return np.stack(channels, axis=-1)
 
 
+_TAG_NAMES = {
+    0x829A: "ExposureTime",
+    0x8827: "ISOSpeedRatings",
+    0x9201: "ShutterSpeedValue",
+    0xC61A: "BlackLevel",
+    0xC61D: "WhiteLevel",
+    0x0100: "ImageWidth",
+    0x0101: "ImageLength",
+    0x0112: "Orientation",
+    0xC628: "AsShotNeutral",
+}
+_EXIF_IFD = 0x8769
+_SUB_IFDS = 0x014A
+# TIFF field types -> (struct code, size)
+_FIELD_TYPES = {
+    1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 5: ("II", 8),
+    8: ("h", 2), 9: ("i", 4), 10: ("ii", 8), 11: ("f", 4), 12: ("d", 8),
+}
+
+
+def read_dng_metadata(path: str) -> dict:
+    """Pure-python DNG/TIFF metadata reader (no rawpy in this image).
+
+    Walks the TIFF IFD chain (plus the EXIF sub-IFD and DNG SubIFDs) and
+    collects the exposure tags the reference's raw pipeline consumes
+    (`raw_utils.py:35-412`: ExposureTime, ISOSpeedRatings,
+    ShutterSpeedValue, BlackLevel, WhiteLevel, AsShotNeutral). Pixel data
+    is NOT decoded — pair with a pre-decoded mosaic for the full pipeline.
+    """
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"{path!r} is not a TIFF/DNG file")
+    if struct.unpack(e + "H", data[2:4])[0] != 42:
+        raise ValueError(f"{path!r}: bad TIFF magic")
+
+    out = {}
+
+    def read_ifd(offset, depth=0):
+        if depth > 4 or offset <= 0 or offset + 2 > len(data):
+            return
+        (n,) = struct.unpack(e + "H", data[offset : offset + 2])
+        for i in range(n):
+            base = offset + 2 + 12 * i
+            if base + 12 > len(data):
+                return
+            tag, ftype, count = struct.unpack(
+                e + "HHI", data[base : base + 8]
+            )
+            if ftype not in _FIELD_TYPES:
+                continue
+            code, size = _FIELD_TYPES[ftype]
+            total = size * count
+            if total <= 4:
+                raw = data[base + 8 : base + 8 + total]
+            else:
+                (ptr,) = struct.unpack(e + "I", data[base + 8 : base + 12])
+                raw = data[ptr : ptr + total]
+            if len(raw) < total:
+                continue
+            if code in ("II", "ii"):  # rationals
+                ints = struct.unpack(
+                    e + code[0] * (2 * count), raw
+                )
+                vals = [
+                    ints[2 * j] / ints[2 * j + 1] if ints[2 * j + 1] else 0.0
+                    for j in range(count)
+                ]
+            else:
+                vals = list(struct.unpack(e + code * count, raw))
+            if tag == _EXIF_IFD:
+                read_ifd(int(vals[0]), depth + 1)
+            elif tag == _SUB_IFDS:
+                for v in vals:
+                    read_ifd(int(v), depth + 1)
+            elif tag in _TAG_NAMES:
+                name = _TAG_NAMES[tag]
+                out.setdefault(
+                    name, vals[0] if count == 1 else vals
+                )
+        (nxt,) = struct.unpack(
+            e + "I", data[offset + 2 + 12 * n : offset + 6 + 12 * n]
+        )
+        if nxt:
+            read_ifd(nxt, depth + 1)
+
+    (ifd0,) = struct.unpack(e + "I", data[4:8])
+    read_ifd(ifd0)
+    return out
+
+
 def exposure_values(metadata: Sequence[Mapping]) -> np.ndarray:
     """shutter * ISO / 1000 per frame (the reference's exposure unit)."""
     return np.array(

@@ -43,6 +43,8 @@ GATES = {
                 num_prop_samples=64,
                 num_nerf_samples=32,
                 num_levels=3,
+                # The analytic scene's background is black.
+                bg_intensity_range=(0.0, 0.0),
                 nerf_mlp_params=dict(net_depth=4, net_width=256,
                                      bottleneck_width=128),
                 prop_mlp_params=dict(net_depth=4, net_width=128),
@@ -83,8 +85,8 @@ GATES = {
         ),
     ),
     "ngp": dict(
-        steps=2000,
-        batch=8192,
+        steps=1500,
+        batch=4096,
         thresholds=dict(psnr=26.0, rmse=0.10),
         config=dict(
             model="ngp",

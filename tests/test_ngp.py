@@ -232,13 +232,22 @@ class TestMarching:
     def test_compaction_takes_first_occupied(self):
         edges = jnp.linspace(0.0, 1.0, 9)[None]  # 8 intervals
         occupied = jnp.array([[False, True, False, True, True, False, False, True]])
-        t_mid, dt, valid = occ.compact_occupied(edges, occupied, 3)
-        # First three occupied intervals: 1, 3, 4.
+        # Exact mode (eval path): the first three occupied intervals 1,3,4.
+        t_mid, dt, valid = occ.compact_occupied(edges, occupied, 3,
+                                                subsample=False)
         np.testing.assert_allclose(
             np.asarray(t_mid)[0], [0.1875, 0.4375, 0.5625], atol=1e-6
         )
         np.testing.assert_allclose(np.asarray(dt)[0], 0.125, atol=1e-6)
         assert np.all(np.asarray(valid)[0])
+        # Budgeted mode (train path): 4 occupied > 3 -> stride k=2 keeps
+        # occupied ranks 0 and 2 (intervals 1, 4), dt doubled.
+        t_mid, dt, valid = occ.compact_occupied(edges, occupied, 3)
+        np.testing.assert_allclose(
+            np.asarray(t_mid)[0][:2], [0.1875, 0.5625], atol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(dt)[0][:2], 0.25, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(valid)[0], [True, True, False])
 
     def test_compaction_pads_when_starved(self):
         edges = jnp.linspace(0.0, 1.0, 9)[None]
@@ -591,3 +600,55 @@ class TestPoseRefinement:
         assert not np.allclose(
             np.asarray(base[-1]["depth"]), np.asarray(moved[-1]["depth"])
         )
+
+
+class TestCompactionSubsampling:
+    """Over-budget rays must keep full-segment coverage, not the near end
+    (the dense-warmup billboard failure seen in the quality gate)."""
+
+    def test_stride_covers_full_segment(self):
+        edges = jnp.linspace(0.0, 1.0, 17)[None]  # 16 intervals, all occupied
+        occupied = jnp.ones((1, 16), bool)
+        t_mid, dt, valid = occ.compact_occupied(edges, occupied, 4)
+        assert bool(valid.all())
+        # stride k=4 -> picks intervals 0, 4, 8, 12 spanning the segment.
+        np.testing.assert_allclose(
+            np.asarray(t_mid[0]),
+            [0.03125, 0.28125, 0.53125, 0.78125], atol=1e-6,
+        )
+        # dt scaled by the stride: optical depth conserved for constant
+        # density (4 intervals x width/16 x 4 = full unit length).
+        np.testing.assert_allclose(float(dt.sum()), 1.0, atol=1e-6)
+
+    def test_under_budget_unchanged(self):
+        edges = jnp.linspace(0.0, 1.0, 9)[None]
+        occupied = jnp.array([[False, True, False, True, True, False,
+                               False, True]])
+        a = occ.compact_occupied(edges, occupied, 4, subsample=True)
+        b = occ.compact_occupied(edges, occupied, 4, subsample=False)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+    def test_model_trains_full_range_under_dense_grid(self):
+        """With a fully-occupied grid and budget < candidates, training
+        samples must span the ray's full segment."""
+        from tests.test_models import _unit_sphere_rays
+
+        model = ngp.HashGridModel(
+            scale=0.5, max_samples=16, n_candidates=64,
+            field_params=dict(n_levels=2, log2_table_size=10,
+                              base_resolution=4, max_resolution=16,
+                              hidden_width=16, geo_features=7),
+        )
+        rays = _unit_sphere_rays(n=4, seed=40)
+        variables = model.init(jax.random.PRNGKey(0), rng=None, rays=rays,
+                               train_frac=1.0, compute_extras=False)
+        grid = occ.init_grid(0.5, model.grid_resolution) + 1.0
+        _, history = model.apply(variables, None, rays, occupancy=grid)
+        steps = np.asarray(history[-1]["steps"])
+        t_far = np.asarray(
+            occ.intersect_aabb(rays.origins, rays.viewdirs, 0.5,
+                               near_min=model.near_distance)[1]
+        )
+        # Deepest sample reaches (nearly) the scene exit on every ray.
+        assert np.all(steps.max(-1) > 0.85 * t_far)

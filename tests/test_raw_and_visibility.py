@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from outdoor_nerf_depth_tpu.ops import occupancy as occ
 from outdoor_nerf_depth_tpu.utils import raw
@@ -104,3 +105,69 @@ class TestVisibilityCulling:
         g2 = occ.update_grid(jax.random.PRNGKey(0), grid, dense, 0.5)
         assert np.all(np.asarray(g2)[0, :10] == -1.0)
         assert np.asarray(g2)[0, 10:].max() > 0
+
+
+class TestDngMetadata:
+    """Pure-python TIFF/DNG tag reader (no rawpy in this image)."""
+
+    def _write_tiff(self, path):
+        """Minimal little-endian TIFF with an EXIF sub-IFD carrying the
+        exposure tags the raw pipeline consumes."""
+        import struct
+
+        def entry(tag, ftype, count, value_bytes, heap, heap_base):
+            if len(value_bytes) <= 4:
+                inline = value_bytes + b"\0" * (4 - len(value_bytes))
+                return struct.pack("<HHI", tag, ftype, count) + inline
+            ptr = heap_base + len(heap)
+            heap.extend(value_bytes)
+            return struct.pack("<HHI", tag, ftype, count) + struct.pack(
+                "<I", ptr
+            )
+
+        # Layout: header(8) | IFD0 | EXIF IFD | heap
+        n0, n1 = 4, 2
+        ifd0_off = 8
+        exif_off = ifd0_off + 2 + 12 * n0 + 4
+        heap_base = exif_off + 2 + 12 * n1 + 4
+        heap = bytearray()
+
+        ifd0 = struct.pack("<H", n0)
+        ifd0 += entry(0x0100, 4, 1, struct.pack("<I", 32), heap, heap_base)
+        ifd0 += entry(0x0101, 4, 1, struct.pack("<I", 16), heap, heap_base)
+        ifd0 += entry(0xC61D, 4, 1, struct.pack("<I", 16383), heap, heap_base)
+        ifd0 += entry(0x8769, 4, 1, struct.pack("<I", exif_off), heap,
+                      heap_base)
+        ifd0 += struct.pack("<I", 0)
+
+        exif = struct.pack("<H", n1)
+        exif += entry(0x829A, 5, 1, struct.pack("<II", 1, 60), heap,
+                      heap_base)  # 1/60 s
+        exif += entry(0x8827, 3, 1, struct.pack("<H", 800), heap, heap_base)
+        exif += struct.pack("<I", 0)
+
+        with open(path, "wb") as f:
+            f.write(b"II" + struct.pack("<H", 42) + struct.pack("<I", ifd0_off))
+            f.write(ifd0)
+            f.write(exif)
+            f.write(bytes(heap))
+
+    def test_reads_exposure_tags(self, tmp_path):
+        path = str(tmp_path / "frame.dng")
+        self._write_tiff(path)
+        meta = raw.read_dng_metadata(path)
+        assert meta["ImageWidth"] == 32
+        assert meta["ImageLength"] == 16
+        assert meta["WhiteLevel"] == 16383
+        assert meta["ISOSpeedRatings"] == 800
+        np.testing.assert_allclose(meta["ExposureTime"], 1.0 / 60.0)
+        # Feeds straight into the exposure-unit helper.
+        np.testing.assert_allclose(
+            raw.exposure_values([meta]), [1.0 / 60.0 * 800 / 1000.0]
+        )
+
+    def test_rejects_non_tiff(self, tmp_path):
+        p = tmp_path / "x.dng"
+        p.write_bytes(b"not a tiff")
+        with pytest.raises(ValueError):
+            raw.read_dng_metadata(str(p))
