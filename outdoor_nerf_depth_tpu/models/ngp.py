@@ -233,9 +233,13 @@ class HashGridModel(nn.Module):
             + mids_all[..., None] * rays.viewdirs[..., None, :]
         )
         if occupancy is not None:
-            occupied = occ.lookup(
-                occupancy, pts_all, self.scale, self.density_threshold
+            # Adaptive activation: min(threshold, mean density) — the
+            # reference's rule (`networks.py:260-268`) keeps marching alive
+            # when the whole field is still dim early in training.
+            thresh = jnp.minimum(
+                self.density_threshold, occ.mean_density(occupancy)
             )
+            occupied = occ.lookup(occupancy, pts_all, self.scale, thresh)
         else:
             occupied = jnp.ones(mids_all.shape, bool)
         occupied &= hit[..., None]
@@ -339,6 +343,9 @@ class HashGridModel(nn.Module):
         )
         t_near = jnp.maximum(t_near, rays.near[..., 0])
         t_far = jnp.maximum(jnp.minimum(t_far, rays.far[..., 0]), t_near + 1e-4)
+        eval_thresh = jnp.minimum(
+            self.density_threshold, occ.mean_density(occupancy)
+        )
 
         shape = t_near.shape
         state = dict(
@@ -373,8 +380,7 @@ class HashGridModel(nn.Module):
                 rays.origins[..., None, :]
                 + mids[..., None] * rays.viewdirs[..., None, :]
             )
-            occupied = occ.lookup(occupancy, pts, self.scale,
-                                  self.density_threshold)
+            occupied = occ.lookup(occupancy, pts, self.scale, eval_thresh)
             occupied &= (mids < t_far[..., None]) & s["alive"][..., None]
 
             # subsample=False: over-budget windows are exactly revisited
