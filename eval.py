@@ -1,7 +1,7 @@
 """CLI: evaluate a trained scene checkpoint, or compare renders offline.
 
   python eval.py [--config exp/config.json] key=value ...
-  python eval.py --offline <gt_image_dir> <pred_dir> [out.txt]
+  python eval.py --offline <gt_image_dir> <pred_dir> [out.txt] [--lpips]
 
 Replaces `mipnerf360/eval.py`, `nerfplusplus/ddp_test_nerf.py`, and the
 shared `utils/eval.py` of the reference.
@@ -20,9 +20,11 @@ def main(argv):
     if argv and argv[0] == "--offline":
         from outdoor_nerf_depth_tpu.train.offline_eval import evaluate_renders
 
-        gt_dir, pred_dir = argv[1], argv[2]
-        out = argv[3] if len(argv) > 3 else None
-        evaluate_renders(gt_dir, pred_dir, out_path=out)
+        rest = [a for a in argv[1:] if a != "--lpips"]
+        lpips = "--lpips" in argv
+        gt_dir, pred_dir = rest[0], rest[1]
+        out = rest[2] if len(rest) > 2 else None
+        evaluate_renders(gt_dir, pred_dir, out_path=out, compute_lpips=lpips)
         return
 
     from outdoor_nerf_depth_tpu.train import step as step_lib
