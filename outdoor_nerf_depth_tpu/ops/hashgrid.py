@@ -165,24 +165,27 @@ def _sorted_row_sums(flat_idx, vals, n_rows: int):
     """
     m = flat_idx.shape[0]
     f = vals.shape[-1]
+    # Pack the sentinel flag into the key's low bit (data = 2*row,
+    # sentinel = 2*row + 1): one less 75M-element operand to carry through
+    # the sort, and the ordering (data before its row's sentinel) comes
+    # from the key itself instead of sort stability.
     keys = jnp.concatenate(
-        [flat_idx.astype(jnp.int32), jnp.arange(n_rows, dtype=jnp.int32)]
-    )
-    flag = jnp.concatenate(
-        [jnp.zeros((m,), jnp.int32), jnp.ones((n_rows,), jnp.int32)]
+        [
+            flat_idx.astype(jnp.int32) * 2,
+            jnp.arange(n_rows, dtype=jnp.int32) * 2 + 1,
+        ]
     )
     vpad = jnp.concatenate(
         [vals.astype(jnp.float32), jnp.zeros((n_rows, f), jnp.float32)]
     )
     ops = jax.lax.sort(
-        (keys, flag) + tuple(vpad[:, i] for i in range(f)),
-        num_keys=1,
-        is_stable=True,
+        (keys,) + tuple(vpad[:, i] for i in range(f)), num_keys=1
     )
-    s_flag = ops[1]
-    csum = jnp.cumsum(jnp.stack(ops[2:], axis=-1), axis=0)
+    is_sentinel = (ops[0] & 1).astype(jnp.int32)
+    csum = jnp.cumsum(jnp.stack(ops[1:], axis=-1), axis=0)
+    # Binary partition: sentinels (already in row order) to the front.
     ops2 = jax.lax.sort(
-        (1 - s_flag,) + tuple(csum[:, i] for i in range(f)),
+        (1 - is_sentinel,) + tuple(csum[:, i] for i in range(f)),
         num_keys=1,
         is_stable=True,
     )
