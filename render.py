@@ -32,6 +32,7 @@ def main(argv):
     from outdoor_nerf_depth_tpu.utils import vis as vis_lib
 
     path_kind, n_frames = "ellipse", 60
+    render_h = render_w = None
     cfg_path, overrides = None, []
     it = iter(argv)
     for a in it:
@@ -41,11 +42,27 @@ def main(argv):
             path_kind = a.split("=", 1)[1]
         elif a.startswith("n_frames="):
             n_frames = int(a.split("=", 1)[1])
+        elif a.startswith("render_height="):
+            render_h = int(a.split("=", 1)[1])
+        elif a.startswith("render_width="):
+            render_w = int(a.split("=", 1)[1])
         else:
             overrides.append(a)
     config = load_config(cfg_path, overrides)
 
     dataset = build_dataset(config, "train")
+    # Optional output resolution override: rescale the inverse intrinsics
+    # so the field of view is preserved at the new pixel grid.
+    height, width = dataset.height, dataset.width
+    pixtocams = np.asarray(dataset.pixtocams)
+    if render_h or render_w:
+        render_h = render_h or int(round(height * render_w / width))
+        render_w = render_w or int(round(width * render_h / height))
+        scale = np.diag([width / render_w, height / render_h, 1.0]).astype(
+            np.float32
+        )
+        pixtocams = pixtocams @ scale
+        height, width = render_h, render_w
     if hasattr(dataset, "scene_scale"):
         config = config.replace(depth_scale=float(dataset.scene_scale))
     mesh = parallel.make_mesh()
@@ -75,7 +92,7 @@ def main(argv):
     os.makedirs(out_dir, exist_ok=True)
     frames = []
     for fi, pose in enumerate(poses):
-        px, py = cameras_lib.pixel_grid(dataset.width, dataset.height)
+        px, py = cameras_lib.pixel_grid(width, height)
         pixels = rays_lib.Pixels(
             pix_x=px.astype(np.float32),
             pix_y=py.astype(np.float32),
@@ -86,7 +103,7 @@ def main(argv):
         )
         rays = cameras_lib.cast_pixels(
             pixels,
-            (dataset.pixtocams, pose[None].astype(np.float32), None),
+            (pixtocams, pose[None].astype(np.float32), None),
             dataset.camtype,
         )
         batch = rays_lib.Batch(rays=rays)
