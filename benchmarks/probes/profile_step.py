@@ -4,7 +4,7 @@ Runs the exact bench.py workload (1024 rays, k=8 multi-step), captures a
 device trace around two measured dispatches, then parses the perfetto
 trace.json.gz and prints the top op categories. Usage:
 
-  timeout 550 python -u benchmarks/probes/_nerfpp_profile.py
+  timeout 550 python -u benchmarks/probes/profile_step.py
 """
 
 import collections

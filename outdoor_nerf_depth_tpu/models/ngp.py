@@ -42,6 +42,9 @@ class HashGridField(nn.Module):
     # reference `networks.py:79-92`, `:109-130`) map it + log-exposure to LDR.
     rgb_activation: str = "sigmoid"
     tonemap_width: int = 64
+    # "quad" (default) = TPU gather-packed table layout; "corner" = the
+    # classic per-corner XOR hash. See `ops/hashgrid.py` module docstring.
+    hash_layout: str = "quad"
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -54,6 +57,7 @@ class HashGridField(nn.Module):
             log2_table_size=self.log2_table_size,
             base_resolution=self.base_resolution,
             max_resolution=max_res,
+            layout=self.hash_layout,
             compute_dtype=self.compute_dtype,
         )
         dense = lambda f, name: nn.Dense(

@@ -17,6 +17,23 @@ L=16 levels, F=2 features/level, T=2^19 table, N_min=16, growth b from
 
 The table lives in an ordinary flax param — shardable over a mesh axis if
 the table ever outgrows HBM.
+
+TPU gather-granularity redesign ("quad" layout, the default): the measured
+v5e gather cost is ~6.4 ns per ROW regardless of row width, so the per-step
+cost is set by gather COUNT, not bytes. The classic layout needs 8 corner
+gathers per (sample, level). The quad layout makes the hash *linear in y
+and z* — ``h(x,y,z) = (x*P1 + y*P2 + z) mod T`` — so a cell's four (y,z)
+corners sit at row offsets {0, 1, Sy, Sy+1} (Sy = P2 mod T; dense levels
+use their natural stride res+1). A physical table ``phys[i] =
+canon[i] ++ canon[i+1] ++ canon[i+Sy] ++ canon[i+Sy+1]`` (built by rolls,
+one cheap bandwidth pass) then serves the whole (y,z) corner quad in ONE
+row, leaving 2 gathers per (sample, level) — the two x corners — a 4x
+cut in gather rows. The backward reduces (index, 4F-value) pairs in packed
+space (4x fewer entries than corner space) and folds the packed gradient
+back onto the canonical table with four rolls. Hash-quality note: linearity
+in y/z changes the collision *pattern* (a lattice instead of XOR mixing)
+but not the collision *rate*; tcnn itself uses stride-1 (linear) indexing
+in x, and the on-TPU quality gate shows parity.
 """
 
 from __future__ import annotations
@@ -194,6 +211,240 @@ def _sorted_row_sums(flat_idx, vals, n_rows: int):
     return s_csum - prev
 
 
+def _quad_stride(resolution: int, table_size: int) -> int:
+    """Row offset of the y+1 corner in the quad layout (see module doc)."""
+    if (resolution + 1) ** 3 <= table_size:
+        return resolution + 1  # dense injective layout x*(s*s) + y*s + z
+    return int(_PRIMES[2] % table_size)
+
+
+def _quad_base_index(cell, resolution: int, table_size: int):
+    """Row index of a cell's (y0, z0) corner under the quad-layout hash.
+
+    Dense levels use the natural x-major layout; hashed levels use
+    ``(x*P1 + y*P2 + z) mod T`` — linear in y and z so the corner quad is
+    reachable at static offsets {0, 1, Sy, Sy+1}.
+
+    Returns (base_idx [...], x_step: offset of the x+1 corner).
+    """
+    if (resolution + 1) ** 3 <= table_size:
+        s = resolution + 1
+        idx = cell[..., 0] * (s * s) + cell[..., 1] * s + cell[..., 2]
+        return idx, s * s
+    c = cell.astype(jnp.uint32)
+    h = (
+        c[..., 0] * jnp.uint32(_PRIMES[1])
+        + c[..., 1] * jnp.uint32(_PRIMES[2])
+        + c[..., 2]
+    )
+    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32), int(
+        _PRIMES[1] % table_size
+    )
+
+
+def _quad_indices_weights(x, resolutions, table_size: int):
+    """Quad-layout gather plan.
+
+    Returns (idx [..., L, 2] rows into the flattened [L*T] phys table — the
+    two x corners; w [..., L, 8] per-corner trilinear weights, ordered
+    (cx-major, quad-lane-minor) so `w[..., 4*cx + q]` weighs lane q of
+    gathered row cx, with quad lanes {0,1,Sy,Sy+1} = {(y0,z0), (y0,z1),
+    (y1,z0), (y1,z1)}). Shapes deliberately mirror the proven corner
+    layout's [..., L, 8] weight tensor — 6-D broadcast intermediates with
+    tiny trailing dims provoke catastrophic TPU tile padding.
+    """
+    n_levels = len(resolutions)
+    x = jnp.clip(x, 0.0, 1.0)
+    mask = table_size - 1
+    idx_levels, w_levels = [], []
+    for level in range(n_levels):
+        res = int(resolutions[level])
+        pos = x * res
+        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
+        frac = pos - cell
+        base, x_step = _quad_base_index(cell, res, table_size)
+        if (res + 1) ** 3 <= table_size:
+            idx1 = base + x_step  # stays within the dense block, no wrap
+        else:
+            idx1 = (base + x_step) & mask
+        idx_levels.append(
+            jnp.stack([base, idx1], axis=-1) + level * table_size
+        )
+        fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+        wq = [
+            (1.0 - fy) * (1.0 - fz),
+            (1.0 - fy) * fz,
+            fy * (1.0 - fz),
+            fy * fz,
+        ]
+        w_levels.append(
+            jnp.stack(
+                [(1.0 - fx) * q for q in wq] + [fx * q for q in wq], axis=-1
+            )
+        )
+    return jnp.stack(idx_levels, axis=-2), jnp.stack(w_levels, axis=-2)
+
+
+def build_quad_table(table, resolutions, table_size: int):
+    """Materialize the packed [L, T, 4*F] physical table from the canonical
+    [L, T, F] parameter: phys[i] = canon[i] ++ canon[i+1] ++ canon[i+Sy]
+    ++ canon[i+Sy+1] (mod T; dense levels never read the wrapped rows).
+    One bandwidth pass per step — negligible next to the gathers it saves.
+    """
+    levels = []
+    for level in range(table.shape[0]):
+        sy = _quad_stride(int(resolutions[level]), table_size)
+        t = table[level]
+        levels.append(
+            jnp.concatenate(
+                [
+                    t,
+                    jnp.roll(t, -1, axis=0),
+                    jnp.roll(t, -sy, axis=0),
+                    jnp.roll(t, -(sy + 1), axis=0),
+                ],
+                axis=-1,
+            )
+        )
+    return jnp.stack(levels)
+
+
+def encode_quad(x, table, resolutions, table_size: int):
+    """Hash-encode via the quad-packed layout (2 gathers per sample-level).
+
+    Differentiable as-is (jnp.take AD gives a scatter backward); the TPU
+    training path wraps it in `_quad_grad_encode`'s custom VJP instead.
+    Note the hash differs from `encode`'s XOR hash, so outputs are not
+    numerically comparable across layouts (only capability-equivalent).
+    """
+    n_levels, _, n_feats = table.shape
+    idx, w_all = _quad_indices_weights(x, resolutions, table_size)
+    phys = build_quad_table(table, resolutions, table_size)
+    rows = jnp.take(phys.reshape(-1, 4 * n_feats), idx, axis=0)
+    # [..., L, 2, 4F] -> [..., L, 8, F]: minor split, (cx, q) matches w_all.
+    feats = rows.reshape(rows.shape[:-2] + (8, n_feats))
+    out = jnp.sum(w_all[..., None] * feats, axis=-2)  # [..., L, F]
+    return out.reshape(out.shape[:-2] + (n_levels * n_feats,))
+
+
+def _sorted_row_sums_gather(flat_idx, vals, n_rows: int):
+    """`_sorted_row_sums` variant for WIDE value rows: the sorts carry only
+    (key, position) — two int32 operands — and the values follow by one
+    row gather per stage instead of riding every comparator exchange.
+    Wins when F is wide (quad layout: 4*F lanes) and the row count is
+    modest; `_sorted_row_sums` stays optimal for the narrow corner layout.
+    """
+    m = flat_idx.shape[0]
+    f = vals.shape[-1]
+    total = m + n_rows
+    keys = jnp.concatenate(
+        [
+            flat_idx.astype(jnp.int32) * 2,
+            jnp.arange(n_rows, dtype=jnp.int32) * 2 + 1,
+        ]
+    )
+    iota = jnp.arange(total, dtype=jnp.int32)
+    sk, si = jax.lax.sort((keys, iota), num_keys=1)
+    v = jnp.take(vals.astype(jnp.float32), jnp.minimum(si, m - 1), axis=0)
+    v = jnp.where((si < m)[:, None], v, 0.0)
+    csum = jnp.cumsum(v, axis=0)
+    # Compact the sentinel positions (already in row order) to the front.
+    _, order = jax.lax.sort((sk & 1 ^ 1, iota), num_keys=1, is_stable=True)
+    s_csum = jnp.take(csum, order[:n_rows], axis=0)
+    prev = jnp.concatenate([jnp.zeros((1, f), s_csum.dtype), s_csum[:-1]], 0)
+    return s_csum - prev
+
+
+@functools.lru_cache(maxsize=None)
+def _quad_grad_encode(resolutions_key: tuple, table_size: int):
+    """encode_quad() under a custom VJP: packed-space sorted-segment table
+    gradient (4x fewer reduction entries than corner space) folded back to
+    the canonical table by four rolls; analytic trilinear x gradient."""
+    resolutions = np.asarray(resolutions_key, np.int32)
+    n_levels = len(resolutions_key)
+
+    @jax.custom_vjp
+    def fn(x, table):
+        return encode_quad(x, table, resolutions, table_size)
+
+    def fwd(x, table):
+        n_feats = table.shape[-1]
+        idx, w_all = _quad_indices_weights(x, resolutions, table_size)
+        phys = build_quad_table(table, resolutions, table_size)
+        rows = jnp.take(phys.reshape(-1, 4 * n_feats), idx, axis=0)
+        # [..., L, 2, 4F] -> [..., L, 8, F]: mirrors the corner path's
+        # proven shapes (no 6-D broadcast intermediates — those pick up
+        # catastrophic TPU tile padding).
+        feats = rows.reshape(rows.shape[:-2] + (8, n_feats))
+        out = jnp.sum(w_all[..., None] * feats, axis=-2)
+        out = out.reshape(out.shape[:-2] + (n_levels * n_feats,))
+        return out, (x, idx, w_all, feats, table.shape)
+
+    def bwd(res, g):
+        x, idx, w_all, feats, table_shape = res
+        n_feats = table_shape[-1]
+        g_lf = g.reshape(g.shape[:-1] + (n_levels, n_feats))
+
+        # d(gathered phys rows): corner-indexed [..., L, 8, F], viewed as
+        # the two gathered rows' lanes [..., L, 2, 4F] for the reduction.
+        vals = w_all[..., None] * g_lf[..., None, :]
+        pg = _sorted_row_sums_gather(
+            idx.reshape(-1),
+            vals.reshape(-1, 4 * n_feats),
+            n_levels * table_size,
+        ).reshape(n_levels, table_size, 4, n_feats)
+        # Fold packed lanes onto the canonical rows they alias:
+        # canon[j] appears in phys[j][0], phys[j-1][1], phys[j-Sy][2],
+        # phys[j-Sy-1][3].
+        canon_levels = []
+        for level in range(n_levels):
+            sy = _quad_stride(int(resolutions_key[level]), table_size)
+            p = pg[level]
+            canon_levels.append(
+                p[:, 0]
+                + jnp.roll(p[:, 1], 1, axis=0)
+                + jnp.roll(p[:, 2], sy, axis=0)
+                + jnp.roll(p[:, 3], sy + 1, axis=0)
+            )
+        dtable = jnp.stack(canon_levels)
+
+        # dL/dx via analytic derivatives of the (cx-major, quad-minor)
+        # weights: w[4*cx+q] = wx[cx] * wq[q], wx = (1-fx, fx),
+        # wq = ((1-fy)(1-fz), (1-fy)fz, fy(1-fz), fy fz).
+        s = jnp.sum(g_lf[..., None, :] * feats, axis=-1)  # [..., L, 8]
+        xc = jnp.clip(x, 0.0, 1.0)
+        dx = jnp.zeros_like(x)
+        for level in range(n_levels):
+            r = float(resolutions_key[level])
+            pos = xc * r
+            cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, int(r) - 1)
+            frac = pos - cell
+            fx, fy, fz = frac[..., 0], frac[..., 1], frac[..., 2]
+            sl = s[..., level, :]
+            sl = sl.reshape(sl.shape[:-1] + (2, 4))  # [..., cx, q]
+            wq = jnp.stack(
+                [(1 - fy) * (1 - fz), (1 - fy) * fz, fy * (1 - fz), fy * fz],
+                axis=-1,
+            )
+            wx = jnp.stack([1.0 - fx, fx], axis=-1)
+            gx = r * jnp.sum(wq * (sl[..., 1, :] - sl[..., 0, :]), axis=-1)
+            dwq_dfy = jnp.stack([-(1 - fz), -fz, (1 - fz), fz], axis=-1)
+            dwq_dfz = jnp.stack([-(1 - fy), (1 - fy), -fy, fy], axis=-1)
+            gy = r * jnp.sum(
+                wx[..., :, None] * dwq_dfy[..., None, :] * sl, axis=(-2, -1)
+            )
+            gz = r * jnp.sum(
+                wx[..., :, None] * dwq_dfz[..., None, :] * sl, axis=(-2, -1)
+            )
+            dx = dx + jnp.stack([gx, gy, gz], axis=-1)
+        in_range = (x > 0.0) & (x < 1.0)
+        dx = jnp.where(in_range, dx, 0.0)
+        return dx, dtable
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 @functools.lru_cache(maxsize=None)
 def _sorted_grad_encode(resolutions_key: tuple, table_size: int):
     """encode() wrapped in a custom VJP: gather forward, scatter-free
@@ -278,6 +529,12 @@ class HashGridEncoding(nn.Module):
     # (`_sorted_row_sums`, ~1 s at the same shape). "auto" = sorted on
     # TPU, scatter elsewhere.
     grad_mode: str = "auto"
+    # Table layout. "quad" (default) = y,z-linear hash with 4-corner row
+    # packing: 2 gathers per (sample, level) and a 4x smaller backward
+    # reduction (see module docstring). "corner" = classic XOR-prime hash,
+    # 8 gathers. The two layouts hash differently, so trained tables are
+    # NOT interchangeable across layouts.
+    layout: str = "quad"
     compute_dtype: Any = jnp.float32
 
     @property
@@ -310,7 +567,15 @@ class HashGridEncoding(nn.Module):
         use_sorted = self.grad_mode == "sorted" or (
             self.grad_mode == "auto" and jax.default_backend() == "tpu"
         )
-        if use_sorted and pack == 0:
+        if self.layout == "quad" and pack == 0:
+            if use_sorted:
+                fn = _quad_grad_encode(
+                    tuple(int(r) for r in resolutions), table_size
+                )
+                out = fn(x, table)
+            else:
+                out = encode_quad(x, table, resolutions, table_size)
+        elif use_sorted and pack == 0:
             fn = _sorted_grad_encode(
                 tuple(int(r) for r in resolutions), table_size
             )

@@ -78,6 +78,8 @@ _TAG_NAMES = {
     0x0100: "ImageWidth",
     0x0101: "ImageLength",
     0x0112: "Orientation",
+    0xC621: "ColorMatrix1",
+    0xC622: "ColorMatrix2",
     0xC628: "AsShotNeutral",
 }
 _EXIF_IFD = 0x8769
@@ -174,6 +176,135 @@ def exposure_values(metadata: Sequence[Mapping]) -> np.ndarray:
     )
 
 
+# sRGB (D65) -> XYZ primaries, the standard matrix the reference uses to
+# build cam2rgb (`raw_utils.py:205-212` _RGB2XYZ).
+_RGB2XYZ = np.array(
+    [
+        [0.4124564, 0.3575761, 0.1804375],
+        [0.2126729, 0.7151522, 0.0721750],
+        [0.0193339, 0.1191920, 0.9503041],
+    ]
+)
+
+
+def _shutter_seconds(m: Mapping) -> float:
+    """Seconds of exposure from whichever tag the frame carries:
+    ExposureTime (seconds), 'ShutterSpeed' as a '1/x' string (the
+    reference's EXIF JSON convention, `raw_utils.py:250-251`), or the DNG
+    APEX ShutterSpeedValue (log2 of 1/seconds)."""
+    if "ExposureTime" in m:
+        return float(m["ExposureTime"])
+    if "ShutterSpeed" in m:
+        v = m["ShutterSpeed"]
+        if isinstance(v, str) and "/" in v:
+            num, den = v.split("/")
+            return float(num or 1.0) / float(den)
+        return float(v)
+    if "ShutterSpeedValue" in m:
+        return float(2.0 ** -float(m["ShutterSpeedValue"]))
+    raise KeyError("no shutter tag (ExposureTime/ShutterSpeed) in metadata")
+
+
+def process_metadata(metas: Sequence[Mapping]) -> dict:
+    """Per-frame color pipeline constants from DNG/EXIF metadata dicts.
+
+    The reference's `process_exif` (`raw_utils.py:215-271`): builds the
+    cam-space -> linear-sRGB transform as
+      cam2camwb = diag(1 / AsShotNeutral)        (white balance)
+      rgb2camwb = normalize_rows(ColorMatrix2 @ RGB2XYZ)
+      cam2rgb   = inv(rgb2camwb) @ cam2camwb
+    plus stacked shutter speeds and black/white levels. Input dicts come
+    from `read_dng_metadata` or an EXIF JSON sidecar.
+    """
+    shutters = np.array([_shutter_seconds(m) for m in metas])
+    wb = np.array([np.asarray(m["AsShotNeutral"], float) for m in metas])
+    cam2camwb = np.stack([np.diag(1.0 / x) for x in wb])
+    xyz2camwb = np.array(
+        [np.asarray(m["ColorMatrix2"], float).reshape(3, 3) for m in metas]
+    )
+    rgb2camwb = xyz2camwb @ _RGB2XYZ
+    rgb2camwb /= rgb2camwb.sum(axis=-1, keepdims=True)
+    cam2rgb = np.linalg.inv(rgb2camwb) @ cam2camwb
+    meta = {
+        "ShutterSpeed": shutters,
+        "cam2rgb": cam2rgb,
+        "BlackLevel": np.array(
+            [np.mean(np.asarray(m.get("BlackLevel", 0.0), float)) for m in metas]
+        ),
+        "WhiteLevel": np.array(
+            [np.mean(np.asarray(m.get("WhiteLevel", 1.0), float)) for m in metas]
+        ),
+    }
+    return meta
+
+
+# Brightness percentiles swept for training-log visualization, matching
+# `raw_utils.py:194` _PERCENTILE_LIST.
+_PERCENTILE_LIST = (80, 90, 97, 99, 100)
+
+
+def assemble_raw_dataset(
+    raws: np.ndarray,
+    metas: Sequence[Mapping],
+    exposure_percentile: float = 97.0,
+    n_downsample: int = 1,
+):
+    """Raw mosaics + metadata -> demosaicked images + exposure bookkeeping.
+
+    The decode-free core of the reference's `load_raw_dataset`
+    (`raw_utils.py:273-412`; rawpy/DNG pixel decode is unavailable in this
+    image, so `raws` are pre-decoded Bayer planes [N, H, W]):
+
+    * black/white-level normalization to [0, 1];
+    * unique shutter speeds sorted brightest-first, per-image
+      `exposure_idx` and relative `exposure_values` (brightest == 1) — the
+      per-ray exposure inputs for a RawNeRF-style model;
+    * scene exposure at `exposure_percentile` of image 0 (after cam2rgb),
+      plus the percentile sweep for logging;
+    * a `postprocess_fn` closing over cam2rgb/exposure;
+    * bilinear demosaic (+ optional area downsample).
+
+    Returns (images [N, H/d, W/d, 3], meta dict).
+    """
+    from outdoor_nerf_depth_tpu.utils import image as image_lib
+
+    meta = process_metadata(metas)
+    shutters = meta["ShutterSpeed"]
+    unique_shutters = np.sort(np.unique(shutters))[::-1]
+    exposure_idx = np.zeros_like(shutters, dtype=np.int32)
+    for i, shutter in enumerate(unique_shutters):
+        exposure_idx[shutters == shutter] = i
+    meta["exposure_idx"] = exposure_idx
+    meta["unique_shutters"] = unique_shutters
+    meta["exposure_values"] = shutters / unique_shutters[0]
+
+    black = meta["BlackLevel"].reshape(-1, 1, 1)
+    white = meta["WhiteLevel"].reshape(-1, 1, 1)
+    images = (np.asarray(raws, np.float32) - black) / np.maximum(
+        white - black, 1e-8
+    )
+
+    image0_rgb = bilinear_demosaic(images[0]) @ meta["cam2rgb"][0].T
+    meta["exposure"] = float(
+        np.percentile(image0_rgb, exposure_percentile)
+    )
+    meta["exposure_levels"] = {
+        p: float(np.percentile(image0_rgb, p)) for p in _PERCENTILE_LIST
+    }
+    cam2rgb0 = meta["cam2rgb"][0]
+    meta["postprocess_fn"] = lambda z, x=meta["exposure"]: postprocess_raw(
+        z, cam2rgb=cam2rgb0, exposure=x
+    )
+
+    out = []
+    for im in images:
+        rgb = bilinear_demosaic(im)
+        if n_downsample > 1:
+            rgb = np.asarray(image_lib.downsample(rgb, n_downsample))
+        out.append(rgb)
+    return np.stack(out), meta
+
+
 def normalize_exposure(
     images: np.ndarray, percentile: float = 97.0
 ) -> Tuple[np.ndarray, float]:
@@ -182,12 +313,27 @@ def normalize_exposure(
     return images / max(level, 1e-8), level
 
 
-def postprocess_raw(linear, exposure=None, gamma: float = 1.0 / 2.2):
-    """Simple raw->display transform: exposure scale + gamma."""
-    x = jnp.asarray(linear)
-    if exposure is not None:
-        x = x * exposure
-    return jnp.clip(x, 0.0, 1.0) ** gamma
+def postprocess_raw(raw, cam2rgb=None, exposure=None):
+    """Demosaicked raw -> sRGB, the reference's minimal pipeline
+    (`raw_utils.py:35-66`): camera space -> linear sRGB via `cam2rgb`
+    (identity when None), map `exposure` (default: 97th percentile) to
+    white, clip, sRGB gamma curve."""
+    from outdoor_nerf_depth_tpu.utils import image as image_lib
+
+    x = jnp.asarray(raw)
+    if x.shape[-1] != 3:
+        raise ValueError(f"raw.shape[-1] is {x.shape[-1]}, expected 3")
+    if cam2rgb is not None:
+        cam2rgb = jnp.asarray(cam2rgb)
+        if cam2rgb.shape != (3, 3):
+            raise ValueError(
+                f"cam2rgb.shape is {cam2rgb.shape}, expected (3, 3)"
+            )
+        x = x @ cam2rgb.T
+    if exposure is None:
+        exposure = jnp.percentile(x, 97)
+    x = jnp.clip(x / exposure, 0.0, 1.0)
+    return image_lib.linear_to_srgb(x)
 
 
 def match_affine_color(img: np.ndarray, ref: np.ndarray) -> np.ndarray:
@@ -197,3 +343,25 @@ def match_affine_color(img: np.ndarray, ref: np.ndarray) -> np.ndarray:
     feats = np.concatenate([flat, np.ones_like(flat[:, :1])], axis=-1)
     coeff, *_ = np.linalg.lstsq(feats, ref.reshape(-1, 3), rcond=None)
     return (feats @ coeff).reshape(img.shape)
+
+
+def best_fit_affine(x, y, axis):
+    """Per-channel least-squares (a, b) with a * x + b ~= y
+    (`raw_utils.py:388-397`)."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    x_m = x.mean(axis=axis)
+    y_m = y.mean(axis=axis)
+    xy_m = (x * y).mean(axis=axis)
+    xx_m = (x * x).mean(axis=axis)
+    a = (xy_m - x_m * y_m) / (xx_m - x_m * x_m)
+    b = y_m - a * x_m
+    return a, b
+
+
+def match_images_affine(est, gt, axis=(0, 1)):
+    """Affine-match a (noisy) estimate to ground truth for raw metrics:
+    fit gt->est, then invert so metrics live in the gt color space
+    (`raw_utils.py:400-407`)."""
+    a, b = best_fit_affine(gt, est, axis=axis)
+    return (np.asarray(est) - b) / a

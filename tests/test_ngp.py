@@ -115,6 +115,105 @@ class TestHashGrid:
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-2,
                                    atol=2e-3)
 
+    def test_quad_encode_matches_naive_linear_hash(self):
+        """encode_quad (packed rows, 2 gathers) must equal a naive 8-corner
+        gather that uses the same y,z-linear hash."""
+        rng = jax.random.PRNGKey(11)
+        x = jax.random.uniform(rng, (193, 3))
+        t_size = 2**10
+        table = jax.random.normal(jax.random.fold_in(rng, 1), (4, t_size, 2))
+        res = hashgrid.level_resolutions(4, 4, 64)  # crosses dense->hashed
+
+        def naive(x, table):
+            outs = []
+            xc = jnp.clip(x, 0.0, 1.0)
+            for level in range(len(res)):
+                r = int(res[level])
+                pos = xc * r
+                cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, r - 1)
+                frac = pos - cell
+                acc = 0.0
+                for dx_ in (0, 1):
+                    for dy in (0, 1):
+                        for dz in (0, 1):
+                            corner = cell + jnp.array([dx_, dy, dz])
+                            idx, _ = hashgrid._quad_base_index(
+                                corner, r, t_size
+                            )
+                            if (r + 1) ** 3 > t_size:
+                                idx = idx & (t_size - 1)
+                            w = (
+                                jnp.where(dx_, frac[..., 0], 1 - frac[..., 0])
+                                * jnp.where(dy, frac[..., 1], 1 - frac[..., 1])
+                                * jnp.where(dz, frac[..., 2], 1 - frac[..., 2])
+                            )
+                            acc = acc + w[..., None] * table[level][idx]
+                outs.append(acc)
+            return jnp.concatenate(outs, axis=-1)
+
+        got = hashgrid.encode_quad(x, table, res, t_size)
+        want = naive(x, table)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_quad_grad_matches_autodiff(self):
+        """Quad custom VJP (packed sorted reduction + fold, analytic x
+        grad) must match plain AD through encode_quad's scatter path."""
+        rng = jax.random.PRNGKey(12)
+        x = jax.random.uniform(rng, (97, 3), minval=0.01, maxval=0.99)
+        table = jax.random.normal(jax.random.fold_in(rng, 1), (4, 2**10, 2))
+        res = hashgrid.level_resolutions(4, 4, 64)
+        fn = hashgrid._quad_grad_encode(tuple(int(r) for r in res), 2**10)
+
+        np.testing.assert_allclose(
+            np.asarray(fn(x, table)),
+            np.asarray(hashgrid.encode_quad(x, table, res, 2**10)),
+            rtol=1e-6,
+        )
+
+        def loss_sorted(x, t):
+            return jnp.sum(jnp.sin(3.0 * fn(x, t)))
+
+        def loss_plain(x, t):
+            return jnp.sum(
+                jnp.sin(3.0 * hashgrid.encode_quad(x, t, res, 2**10))
+            )
+
+        gx_s, gt_s = jax.grad(loss_sorted, argnums=(0, 1))(x, table)
+        gx_p, gt_p = jax.grad(loss_plain, argnums=(0, 1))(x, table)
+        np.testing.assert_allclose(
+            np.asarray(gt_s), np.asarray(gt_p), rtol=1e-2, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gx_s), np.asarray(gx_p), rtol=1e-4, atol=1e-5
+        )
+
+    def test_sorted_row_sums_gather_variant(self):
+        rng = np.random.default_rng(13)
+        idx = jnp.asarray(rng.integers(0, 50, (4096,)), jnp.int32)
+        vals = jnp.asarray(rng.normal(size=(4096, 8)), jnp.float32)
+        got = hashgrid._sorted_row_sums_gather(idx, vals, 50)
+        want = np.zeros((50, 8), np.float32)
+        np.add.at(want, np.asarray(idx), np.asarray(vals))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-2,
+                                   atol=2e-3)
+
+    def test_layouts_both_train(self):
+        # Both layouts expose the same module contract; a gradient step
+        # moves only touched rows in either.
+        for layout in ("quad", "corner"):
+            enc = hashgrid.HashGridEncoding(
+                n_levels=2, n_features=2, log2_table_size=10,
+                base_resolution=4, max_resolution=8, layout=layout)
+            x = jnp.asarray(
+                np.random.default_rng(3).uniform(0.05, 0.95, size=(33, 3)))
+            vars_ = enc.init(jax.random.PRNGKey(4), x)
+            out = enc.apply(vars_, x)
+            assert out.shape == (33, 4)
+            g = jax.grad(lambda v: jnp.sum(enc.apply(v, x) ** 2))(vars_)
+            assert np.isfinite(
+                np.asarray(jax.tree_util.tree_leaves(g)[0])).all()
+
     def test_dense_levels_interpolate_exactly(self):
         # A coarse level with injective indexing behaves as a voxel grid:
         # value at a corner equals its table entry.

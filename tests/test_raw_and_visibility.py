@@ -59,13 +59,77 @@ class TestRawHelpers:
         out = raw.match_affine_color(img, ref)
         np.testing.assert_allclose(out, ref, atol=1e-8)
 
-    def test_postprocess_raw_gamma(self):
-        x = jnp.array([0.0, 0.25, 1.0, 2.0])
-        y = np.asarray(raw.postprocess_raw(x))
-        np.testing.assert_allclose(y[0], 0.0, atol=1e-6)
-        np.testing.assert_allclose(y[2], 1.0, atol=1e-6)
-        np.testing.assert_allclose(y[3], 1.0, atol=1e-6)  # clipped
-        assert y[1] > 0.25  # gamma brightens
+    def test_postprocess_raw_srgb(self):
+        x = jnp.array([[[0.0, 0.25, 1.0], [2.0, 0.5, 0.1]]])
+        y = np.asarray(raw.postprocess_raw(x, exposure=1.0))
+        np.testing.assert_allclose(y[0, 0, 0], 0.0, atol=1e-6)
+        np.testing.assert_allclose(y[0, 0, 2], 1.0, atol=1e-6)
+        np.testing.assert_allclose(y[0, 1, 0], 1.0, atol=1e-6)  # clipped
+        assert y[0, 0, 1] > 0.25  # sRGB curve brightens linear values
+
+    def test_postprocess_raw_applies_cam2rgb(self):
+        x = jnp.ones((2, 2, 3)) * 0.5
+        m = np.diag([2.0, 1.0, 1.0])
+        y = np.asarray(raw.postprocess_raw(x, cam2rgb=m, exposure=1.0))
+        assert y[0, 0, 0] > y[0, 0, 1]  # red channel doubled pre-gamma
+
+    def test_process_metadata_white_balances_neutral(self):
+        # cam2rgb must map the sensor's measured white (AsShotNeutral) to
+        # pure display white [1, 1, 1]: WB divides it out, and the
+        # row-normalized CCM fixes the white point.
+        meta = {
+            "ExposureTime": 1 / 60,
+            "AsShotNeutral": [0.5, 1.0, 0.6],
+            "ColorMatrix2": [0.9, 0.1, 0.0, 0.05, 0.8, 0.15, 0.0, 0.2, 0.8],
+            "BlackLevel": 64,
+            "WhiteLevel": 1023,
+        }
+        out = raw.process_metadata([meta])
+        got = out["cam2rgb"][0] @ np.array([0.5, 1.0, 0.6])
+        np.testing.assert_allclose(got, np.ones(3), atol=1e-8)
+
+    def test_shutter_seconds_variants(self):
+        assert raw._shutter_seconds({"ExposureTime": 0.01}) == 0.01
+        np.testing.assert_allclose(
+            raw._shutter_seconds({"ShutterSpeed": "1/60"}), 1.0 / 60.0
+        )
+        # APEX ShutterSpeedValue = log2(1/seconds).
+        np.testing.assert_allclose(
+            raw._shutter_seconds({"ShutterSpeedValue": 6.0}), 1.0 / 64.0
+        )
+
+    def test_assemble_raw_dataset(self):
+        rng = np.random.default_rng(3)
+        raws = rng.uniform(64, 1023, size=(3, 8, 8)).astype(np.float32)
+        base = {
+            "AsShotNeutral": [0.6, 1.0, 0.7],
+            "ColorMatrix2": list(np.eye(3).reshape(-1)),
+            "BlackLevel": 64,
+            "WhiteLevel": 1023,
+        }
+        metas = [
+            dict(base, ExposureTime=1 / 30),   # slowest = brightest
+            dict(base, ExposureTime=1 / 120),
+            dict(base, ExposureTime=1 / 30),
+        ]
+        images, meta = raw.assemble_raw_dataset(raws, metas)
+        assert images.shape == (3, 8, 8, 3)
+        assert images.min() >= 0.0 and images.max() <= 1.0 + 1e-6
+        # Brightest (slowest shutter) exposure gets index 0 and value 1.
+        np.testing.assert_array_equal(meta["exposure_idx"], [0, 1, 0])
+        np.testing.assert_allclose(meta["exposure_values"], [1.0, 0.25, 1.0])
+        assert meta["exposure"] > 0
+        assert set(meta["exposure_levels"]) == {80, 90, 97, 99, 100}
+        post = np.asarray(meta["postprocess_fn"](images[0]))
+        assert post.shape == (8, 8, 3)
+        assert post.min() >= 0.0 and post.max() <= 1.0
+
+    def test_match_images_affine_recovers_gt(self):
+        rng = np.random.default_rng(4)
+        gt = rng.uniform(size=(6, 6, 3))
+        est = gt * np.array([1.5, 0.7, 2.0]) + np.array([0.1, -0.05, 0.2])
+        out = raw.match_images_affine(est, gt)
+        np.testing.assert_allclose(out, gt, atol=1e-10)
 
 
 class TestVisibilityCulling:
