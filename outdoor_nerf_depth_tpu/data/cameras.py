@@ -236,18 +236,46 @@ def pose_scale(transform: np.ndarray) -> float:
     return float(np.sqrt((transform[:3, :3] @ transform[:3, :3].T)[0, 0]))
 
 
-def normalize_poses_min_norm(poses: np.ndarray, points: Optional[np.ndarray] = None):
-    """NGP-style online normalization: center then divide by min camera norm.
+def average_pose(poses: np.ndarray, points: Optional[np.ndarray] = None):
+    """The mean camera frame used by the NGP-style normalization.
 
-    Matches the reference ColmapDataset convention
-    (`ngp-depth/datasets/colmap.py:110-121`): recenter poses (optionally using
-    the sparse point cloud centroid), then scale so the nearest camera sits at
-    unit distance. Returns (poses, scale) — depths divide by `scale`.
+    Matches the reference's `average_poses`
+    (`ngp-depth/datasets/ray_utils.py:108-147`): center = point-cloud (or
+    camera) centroid; z = normalized mean camera z; x = normalize(mean-y x
+    z); y = z x x. Returns a [3, 4] camera-to-world frame.
     """
-    center = points.mean(0) if points is not None and len(points) else poses[:, :3, 3].mean(0)
-    out = poses.copy()
-    out[:, :3, 3] -= center
+    use_pts = points is not None and len(points)
+    center = points.mean(0) if use_pts else poses[:, :3, 3].mean(0)
+    z = poses[:, :3, 2].mean(0)
+    z = z / np.linalg.norm(z)
+    y_ = poses[:, :3, 1].mean(0)
+    x = np.cross(y_, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    return np.stack([x, y, z, center], axis=1)
+
+
+def normalize_poses_min_norm(poses: np.ndarray, points: Optional[np.ndarray] = None):
+    """NGP-style online normalization: align to the average camera frame,
+    then divide translations by the min camera norm.
+
+    Matches the reference ColmapDataset convention exactly
+    (`ngp-depth/datasets/colmap.py:104-121` via `ray_utils.center_poses`):
+    every pose is premultiplied by the INVERSE of the average camera frame
+    (rotation + translation, not just a centroid shift), then scaled so the
+    nearest camera sits at unit distance. Returns (poses, scale) — depths
+    divide by `scale` (`depth_pose_scale`).
+    """
+    avg = np.eye(4)
+    avg[:3] = average_pose(poses, points)
+    avg_inv = np.linalg.inv(avg)
+    bottom = np.broadcast_to(
+        np.array([0.0, 0.0, 0.0, 1.0]), (len(poses), 1, 4)
+    )
+    homo = np.concatenate([poses[:, :3, :4], bottom], axis=1)
+    out = (avg_inv @ homo)[:, :3]
     scale = float(np.linalg.norm(out[:, :3, 3], axis=-1).min())
+    out = out.copy()
     out[:, :3, 3] /= scale
     return out, scale
 

@@ -45,6 +45,9 @@ class HashGridField(nn.Module):
     # "quad" (default) = TPU gather-packed table layout; "corner" = the
     # classic per-corner XOR hash. See `ops/hashgrid.py` module docstring.
     hash_layout: str = "quad"
+    # Table-gradient path ("auto" = scatter-free sorted-segment on TPU,
+    # plain AD scatter elsewhere; see HashGridEncoding.grad_mode).
+    grad_mode: str = "auto"
     compute_dtype: Any = jnp.float32
 
     def setup(self):
@@ -58,6 +61,7 @@ class HashGridField(nn.Module):
             base_resolution=self.base_resolution,
             max_resolution=max_res,
             layout=self.hash_layout,
+            grad_mode=self.grad_mode,
             compute_dtype=self.compute_dtype,
         )
         dense = lambda f, name: nn.Dense(
@@ -153,14 +157,25 @@ class HashGridModel(nn.Module):
     # deltas applied to each ray's origin/direction by camera index.
     optimize_ext: bool = False
     num_images: int = 1000
+    # Hash-table layout, threaded into HashGridField (config override:
+    # `model_params={"hash_layout": "corner"}`). An explicit
+    # field_params["hash_layout"] wins. Checkpoints record the effective
+    # value and refuse to restore across layouts.
+    hash_layout: str = "quad"
     field_params: Any = None
     compute_dtype: Any = jnp.float32
 
+    @property
+    def effective_hash_layout(self) -> str:
+        return (self.field_params or {}).get("hash_layout", self.hash_layout)
+
     def setup(self):
+        field_kwargs = dict(self.field_params or {})
+        field_kwargs.setdefault("hash_layout", self.hash_layout)
         self.field = HashGridField(
             scale=self.scale,
             compute_dtype=self.compute_dtype,
-            **(self.field_params or {}),
+            **field_kwargs,
         )
         if self.optimize_ext:
             zeros = jax.nn.initializers.zeros

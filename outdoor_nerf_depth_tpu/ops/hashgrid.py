@@ -543,6 +543,20 @@ class HashGridEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if self.layout not in ("quad", "corner"):
+            raise ValueError(
+                f"unknown hash-grid layout {self.layout!r}; "
+                "expected 'quad' or 'corner'"
+            )
+        if self.layout == "quad" and self.pack_rows > 1:
+            # The pack_rows path interprets indices under the corner XOR
+            # hash; letting a perf knob silently change the hash function
+            # would corrupt trained tables (ADVICE r2, medium).
+            raise ValueError(
+                "layout='quad' is incompatible with pack_rows>1 (the packed "
+                "path uses the corner hash); set pack_rows=0 or "
+                "layout='corner'"
+            )
         table_size = 2**self.log2_table_size
         resolutions = level_resolutions(
             self.n_levels, self.base_resolution, self.max_resolution

@@ -140,6 +140,9 @@ def sample_update_cells(rng, density_grid, n_per_cascade: int, threshold: float)
     moving surface. Returns ([C, M] flat cell indices,) with M=n_per_cascade.
     """
     c, n_cells = density_grid.shape
+    # A sampled refresh larger than the grid is just a full refresh: clamp
+    # so small test grids work with production cells-per-update settings.
+    n_per_cascade = min(n_per_cascade, n_cells)
     k_uniform = n_per_cascade // 2
     k_occ = n_per_cascade - k_uniform
     rng_u, rng_o = jax.random.split(rng)

@@ -15,6 +15,8 @@ CUDA kernels (`ngp-depth/models/csrc/volumerendering.cu:7-202`). TPU-first:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -113,12 +115,16 @@ def weights_from_optical_depth(tau, use_pallas=None):
     formulation, which XLA compiles to a few VPU loops. `use_pallas=None`
     auto-selects by backend at trace time.
     """
+    # ONDT_PALLAS_INTERPRET=1 forces the Pallas path in interpreter mode on
+    # any backend — lets the multi-chip dryrun (virtual CPU mesh) exercise
+    # the kernel's custom_partitioning under GSPMD without a TPU.
+    interpret = bool(os.environ.get("ONDT_PALLAS_INTERPRET"))
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = interpret or jax.default_backend() == "tpu"
     if use_pallas:
         from outdoor_nerf_depth_tpu.ops import pallas_volren
 
-        return pallas_volren.weights_from_tau(tau)
+        return pallas_volren.weights_from_tau(tau, interpret=interpret)
     alpha = 1.0 - jnp.exp(-tau)
     trans = jnp.exp(
         -jnp.concatenate(

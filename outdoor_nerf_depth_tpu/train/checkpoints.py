@@ -9,10 +9,61 @@ no host-0 serialization bottleneck).
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 import orbax.checkpoint as ocp
+
+# Sidecar recording non-restorable model identity next to the step dirs.
+# Checkpoints whose hash layout (or model family) disagrees with the code
+# restoring them would deserialize without error and silently render
+# garbage (ADVICE r2, high) — the meta file makes that a loud failure.
+META_FILENAME = "model_meta.json"
+
+
+def write_model_meta(directory: str, meta: Dict[str, Any]):
+    """Write the model-identity sidecar (idempotent; host 0 only callers)."""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, META_FILENAME)
+    with open(path, "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+
+
+def read_model_meta(directory: str) -> Optional[Dict[str, Any]]:
+    """Read the sidecar; None when absent (pre-meta checkpoints)."""
+    path = os.path.join(directory, META_FILENAME)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def check_model_meta(directory: str, expected: Dict[str, Any]):
+    """Raise ValueError when a stored sidecar disagrees with `expected`.
+
+    Keys present in only one side are ignored (forward compatibility);
+    a missing sidecar passes (nothing to check against).
+    """
+    stored = read_model_meta(directory)
+    if stored is None:
+        return
+    mismatches = {
+        k: (stored[k], expected[k])
+        for k in expected
+        if k in stored and stored[k] != expected[k]
+    }
+    if mismatches:
+        detail = ", ".join(
+            f"{k}: checkpoint={s!r} vs current={e!r}"
+            for k, (s, e) in sorted(mismatches.items())
+        )
+        raise ValueError(
+            f"checkpoint at {directory!r} was written by an incompatible "
+            f"model configuration ({detail}). Restoring it would silently "
+            "produce garbage — match the stored configuration (e.g. "
+            "model_params={\"hash_layout\": ...}) or start a fresh exp_dir."
+        )
 
 
 class CheckpointManager:

@@ -144,9 +144,16 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
 
     # The checkpoint covers params/opt state AND sampler state (the NGP
     # occupancy grid), so resume and eval see the same acceleration
-    # structure that training built.
+    # structure that training built. The model-identity sidecar makes
+    # resume-under-a-different-hash-layout a loud error instead of silent
+    # garbage.
+    ckpt_dir = os.path.join(config.exp_dir, "checkpoints")
+    meta = step_lib.checkpoint_meta(config, model)
+    ckpt_lib.check_model_meta(ckpt_dir, meta)
+    if jax.process_index() == 0:
+        ckpt_lib.write_model_meta(ckpt_dir, meta)
     ckpt = ckpt_lib.CheckpointManager(
-        os.path.join(config.exp_dir, "checkpoints"), keep=config.keep_checkpoints
+        ckpt_dir, keep=config.keep_checkpoints
     )
     template = {"state": state, "occupancy": occupancy}
     restored, start_step = ckpt.restore(template)
@@ -237,12 +244,22 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
     # but K=8, every=12 never hits step%12==0 after step 24).
     occ_every = config.occupancy_update_every
     next_occ = (step // occ_every) * occ_every if occ_update is not None else None
+    # Profiler window: start fires once when the loop reaches
+    # profile_start_step; stop fires once the trained-step count passes
+    # start + profile_num_steps, checked AFTER each dispatch so a window
+    # narrower than steps_per_dispatch still closes (the old
+    # crossing-based stop could never fire in the start's own window and
+    # left the trace running to process exit).
+    prof_started = prof_stopped = False
+    prof_stop_at = config.profile_start_step + config.profile_num_steps
     while step < max_steps:
-        if config.profile_start_step and step <= config.profile_start_step < step + n_fuse:
+        if (
+            config.profile_start_step
+            and not prof_started
+            and step + n_fuse > config.profile_start_step
+        ):
             jax.profiler.start_trace(os.path.join(config.exp_dir, "trace"))
-        prof_stop = config.profile_start_step + config.profile_num_steps
-        if config.profile_start_step and step <= prof_stop < step + n_fuse and step > config.profile_start_step:
-            jax.profiler.stop_trace()
+            prof_started = True
         step_rng = jax.random.fold_in(rng, step)
         if occ_update is not None and step >= next_occ:
             occupancy = occ_update(
@@ -274,6 +291,10 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
             state, stats = multi_step(state, stacked, rngs, fracs, occupancy)
         prev_step, step = step, step + k
         rays_since += config.batch_size * k
+
+        if prof_started and not prof_stopped and step >= prof_stop_at:
+            jax.profiler.stop_trace()
+            prof_stopped = True
 
         if crossed(prev_step, step, config.print_every) or step == max_steps:
             stats = jax.device_get(stats)
@@ -318,6 +339,8 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
                 jax.device_get({"state": state, "occupancy": occupancy}),
             )
 
+    if prof_started and not prof_stopped:
+        jax.profiler.stop_trace()  # window ran past max_steps
     gc.enable()
     writer.close()
     ckpt.wait()

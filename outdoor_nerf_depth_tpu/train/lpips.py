@@ -53,6 +53,13 @@ _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 DEFAULT_WEIGHTS_RELPATH = os.path.join("weights", "lpips_vgg.npz")
 
+# Provenance marker stamped into the npz by the exporter. Metric paths
+# refuse weights without it: a random-weights test fixture dropped into the
+# weights path must never silently reach a parity table as "LPIPS"
+# (VERDICT r2 weak #7).
+PROVENANCE_KEY = "__provenance__"
+EXPORT_PROVENANCE = "lpips-vgg16-imagenet+lpips-lin-v1"
+
 
 def default_weights_path() -> str:
     env = os.environ.get("ONDT_LPIPS_WEIGHTS")
@@ -64,12 +71,16 @@ def default_weights_path() -> str:
     return os.path.join(repo_root, DEFAULT_WEIGHTS_RELPATH)
 
 
-def load_weights(path: Optional[str] = None) -> Dict[str, np.ndarray]:
+def load_weights(
+    path: Optional[str] = None, require_export_provenance: bool = True
+) -> Dict[str, np.ndarray]:
     """Load the LPIPS weights npz; raise a loud ValueError if absent.
 
     Expected keys: `{conv}/kernel` [kh, kw, cin, cout] (HWIO), `{conv}/bias`
     [cout] for every VGG16 conv, and `lin{i}/weight` [C_i] (the non-negative
-    1x1 calibration weights) for i in 0..4 matching LPIPS_TAPS order.
+    1x1 calibration weights) for i in 0..4 matching LPIPS_TAPS order, plus
+    the exporter's provenance stamp. `require_export_provenance=False` is
+    for tests of the LPIPS *plumbing* only — metric paths must not set it.
     """
     path = path or default_weights_path()
     if not os.path.isfile(path):
@@ -82,7 +93,22 @@ def load_weights(path: Optional[str] = None) -> Dict[str, np.ndarray]:
             "(Refusing to silently skip LPIPS.)"
         )
     raw = np.load(path)
-    weights = {k: np.asarray(raw[k], np.float32) for k in raw.files}
+    provenance = (
+        str(raw[PROVENANCE_KEY]) if PROVENANCE_KEY in raw.files else None
+    )
+    if require_export_provenance and provenance != EXPORT_PROVENANCE:
+        raise ValueError(
+            f"LPIPS weights file {path!r} lacks the exporter provenance "
+            f"stamp (found {provenance!r}, need {EXPORT_PROVENANCE!r}). "
+            "Only weights written by tools/export_lpips_weights.py measure "
+            "perceptual distance; refusing to report LPIPS from anything "
+            "else (e.g. a random-weights test fixture)."
+        )
+    weights = {
+        k: np.asarray(raw[k], np.float32)
+        for k in raw.files
+        if k != PROVENANCE_KEY
+    }
     missing = [
         k
         for name, _, _ in VGG16_CONVS
@@ -145,14 +171,16 @@ def lpips_distance(weights, pred, target):
     return jnp.mean(total)
 
 
-def make_lpips_fn(path: Optional[str] = None) -> Callable:
+def make_lpips_fn(
+    path: Optional[str] = None, require_export_provenance: bool = True
+) -> Callable:
     """Build a jitted lpips(pred, target) -> float closure.
 
-    Raises ValueError when the weights file is unavailable (loud, at
-    construction time — callers that want LPIPS optional must opt out
-    explicitly, not get a silent None).
+    Raises ValueError when the weights file is unavailable or lacks the
+    exporter provenance stamp (loud, at construction time — callers that
+    want LPIPS optional must opt out explicitly, not get a silent None).
     """
-    weights = load_weights(path)
+    weights = load_weights(path, require_export_provenance)
     dev_weights = {k: jnp.asarray(v) for k, v in weights.items()}
     jitted = jax.jit(lambda p, t: lpips_distance(dev_weights, p, t))
 
@@ -162,10 +190,18 @@ def make_lpips_fn(path: Optional[str] = None) -> Callable:
     return compute
 
 
-def save_weights(path: str, weights: Dict[str, np.ndarray]):
-    """Write a weights npz (used by the export tool and test fixtures)."""
+def save_weights(
+    path: str, weights: Dict[str, np.ndarray], provenance: str = "unstamped"
+):
+    """Write a weights npz (used by the export tool and test fixtures).
+
+    Only the exporter passes `provenance=EXPORT_PROVENANCE`; anything else
+    (including the default) is refused by provenance-checking loads.
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **{k: np.asarray(v, np.float32) for k, v in weights.items()})
+    arrays = {k: np.asarray(v, np.float32) for k, v in weights.items()}
+    arrays[PROVENANCE_KEY] = np.asarray(provenance)
+    np.savez(path, **arrays)
 
 
 def random_weights(rng: np.random.Generator) -> Dict[str, np.ndarray]:

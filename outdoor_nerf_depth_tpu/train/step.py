@@ -52,6 +52,23 @@ def build_model(config: Config):
     return models_lib.build(config.model, **params)
 
 
+def checkpoint_meta(config: Config, model) -> dict:
+    """Model-identity facts a checkpoint restore must agree on.
+
+    Restoring a hash-grid table trained under one layout into a model using
+    the other layout deserializes fine (same [L, T, F] shape) but renders
+    garbage — the layouts hash differently. The train loop stores this dict
+    as a sidecar and `load_checkpoint`/resume verify it (ADVICE r2, high).
+    """
+    meta = {"model": config.model}
+    layout = getattr(
+        model, "effective_hash_layout", getattr(model, "hash_layout", None)
+    )
+    if layout is not None:
+        meta["hash_layout"] = layout
+    return meta
+
+
 def make_optimizer(config: Config) -> Tuple[optax.GradientTransformation, Callable]:
     lr_fn = functools.partial(
         mathx.lr_schedule,
@@ -423,8 +440,10 @@ def load_checkpoint(config: Config, rng=None):
         if isinstance(model, HashGridModel)
         else None
     )
+    ckpt_dir = os.path.join(config.exp_dir, "checkpoints")
+    ckpt_lib.check_model_meta(ckpt_dir, checkpoint_meta(config, model))
     ckpt = ckpt_lib.CheckpointManager(
-        os.path.join(config.exp_dir, "checkpoints"), keep=config.keep_checkpoints
+        ckpt_dir, keep=config.keep_checkpoints
     )
     restored, step = ckpt.restore({"state": state, "occupancy": occupancy})
     ckpt.close()

@@ -217,10 +217,21 @@ def process_metadata(metas: Sequence[Mapping]) -> dict:
     from `read_dng_metadata` or an EXIF JSON sidecar.
     """
     shutters = np.array([_shutter_seconds(m) for m in metas])
-    wb = np.array([np.asarray(m["AsShotNeutral"], float) for m in metas])
+    # Frames lacking the color tags (e.g. JPEG-derived sidecars) fall back
+    # to an identity color pipeline — the reference's process_exif simply
+    # skips missing EXIF keys, which implies the same no-op transform.
+    wb = np.array(
+        [np.asarray(m.get("AsShotNeutral", np.ones(3)), float) for m in metas]
+    )
     cam2camwb = np.stack([np.diag(1.0 / x) for x in wb])
+    # Identity cam-space: ColorMatrix2 = XYZ2RGB so rgb2camwb = I after
+    # row normalization.
+    xyz2rgb = np.linalg.inv(_RGB2XYZ)
     xyz2camwb = np.array(
-        [np.asarray(m["ColorMatrix2"], float).reshape(3, 3) for m in metas]
+        [
+            np.asarray(m.get("ColorMatrix2", xyz2rgb), float).reshape(3, 3)
+            for m in metas
+        ]
     )
     rgb2camwb = xyz2camwb @ _RGB2XYZ
     rgb2camwb /= rgb2camwb.sum(axis=-1, keepdims=True)

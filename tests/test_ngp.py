@@ -68,6 +68,25 @@ class TestHashGrid:
             hashgrid.encode(x, t, res, 2**10, pack_rows=64) ** 2))(table)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-6)
 
+    def test_quad_layout_rejects_pack_rows(self):
+        """layout='quad' + pack_rows>1 must be a loud error: the packed
+        path interprets indices under the corner hash, so letting a perf
+        knob silently change the hash function would corrupt trained
+        tables (ADVICE r2, medium)."""
+        enc = hashgrid.HashGridEncoding(
+            n_levels=2, n_features=2, log2_table_size=10, base_resolution=4,
+            max_resolution=8, layout="quad", pack_rows=64,
+        )
+        x = jnp.zeros((4, 3))
+        with pytest.raises(ValueError, match="pack_rows"):
+            enc.init(jax.random.PRNGKey(0), x)
+        bad = hashgrid.HashGridEncoding(
+            n_levels=2, n_features=2, log2_table_size=10, base_resolution=4,
+            max_resolution=8, layout="typo",
+        )
+        with pytest.raises(ValueError, match="layout"):
+            bad.init(jax.random.PRNGKey(0), x)
+
     def test_sorted_grad_matches_autodiff(self):
         """The collision-free sorted table gradient and the analytic
         position gradient must match plain AD through the scatter path."""

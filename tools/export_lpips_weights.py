@@ -27,7 +27,11 @@ def main(out_path: str):
     import torchvision  # type: ignore
 
     sys.path.insert(0, __file__.rsplit("/", 2)[0])
-    from outdoor_nerf_depth_tpu.train.lpips import VGG16_CONVS, save_weights
+    from outdoor_nerf_depth_tpu.train.lpips import (
+        EXPORT_PROVENANCE,
+        VGG16_CONVS,
+        save_weights,
+    )
 
     vgg = torchvision.models.vgg16(
         weights=torchvision.models.VGG16_Weights.IMAGENET1K_V1
@@ -46,8 +50,8 @@ def main(out_path: str):
         w = lin.model[-1].weight.detach().numpy()  # [1, C, 1, 1]
         weights[f"lin{k}/weight"] = np.clip(w[0, :, 0, 0], 0.0, None)
 
-    save_weights(out_path, weights)
-    print(f"wrote {out_path} ({len(weights)} arrays)")
+    save_weights(out_path, weights, provenance=EXPORT_PROVENANCE)
+    print(f"wrote {out_path} ({len(weights)} arrays, provenance-stamped)")
 
 
 if __name__ == "__main__":
