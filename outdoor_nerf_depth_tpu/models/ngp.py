@@ -42,9 +42,10 @@ class HashGridField(nn.Module):
     # reference `networks.py:79-92`, `:109-130`) map it + log-exposure to LDR.
     rgb_activation: str = "sigmoid"
     tonemap_width: int = 64
-    # "quad" (default) = TPU gather-packed table layout; "corner" = the
-    # classic per-corner XOR hash. See `ops/hashgrid.py` module docstring.
-    hash_layout: str = "quad"
+    # "oct" (default) = TPU gather-packed table layout (1 gather per
+    # sample-level); "quad" = same hash, 2 gathers; "corner" = the classic
+    # per-corner XOR hash. See `ops/hashgrid.py` module docstring.
+    hash_layout: str = "oct"
     # Table-gradient path ("auto" = scatter-free sorted-segment on TPU,
     # plain AD scatter elsewhere; see HashGridEncoding.grad_mode).
     grad_mode: str = "auto"
@@ -160,8 +161,9 @@ class HashGridModel(nn.Module):
     # Hash-table layout, threaded into HashGridField (config override:
     # `model_params={"hash_layout": "corner"}`). An explicit
     # field_params["hash_layout"] wins. Checkpoints record the effective
-    # value and refuse to restore across layouts.
-    hash_layout: str = "quad"
+    # hash FUNCTION and refuse to restore across incompatible hashes
+    # (oct and quad share the linear hash; corner does not).
+    hash_layout: str = "oct"
     field_params: Any = None
     compute_dtype: Any = jnp.float32
 

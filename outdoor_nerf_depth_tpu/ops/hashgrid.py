@@ -327,6 +327,162 @@ def encode_quad(x, table, resolutions, table_size: int):
     return out.reshape(out.shape[:-2] + (n_levels * n_feats,))
 
 
+def _oct_offsets(resolution: int, table_size: int):
+    """Row offsets of ALL EIGHT cell corners under the fully-linear hash.
+
+    The quad layout's hash ``h(x,y,z) = (x*P1 + y*P2 + z) mod T`` is linear
+    in every coordinate, so the whole corner cube sits at static offsets
+    {cx*Sx + cy*Sy + cz} (corner-bit order, lane = 4*cx + 2*cy + cz). Dense
+    levels use their natural strides (Sx = s^2, Sy = s). Packing all eight
+    corners into one 8F-lane physical row makes the forward ONE gather per
+    (sample, level) — gather cost on this chip is per-row and row-width
+    independent (measured r2: ~6.4 ns/row at 2/16/128 lanes alike), so this
+    halves the gather bill vs quad and is 8x below the corner layout.
+    """
+    if (resolution + 1) ** 3 <= table_size:
+        s = resolution + 1
+        sx, sy = s * s, s
+    else:
+        sx = int(_PRIMES[1] % table_size)
+        sy = int(_PRIMES[2] % table_size)
+    return [cx * sx + cy * sy + cz
+            for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)]
+
+
+def build_oct_table(table, resolutions, table_size: int):
+    """Materialize the [L, T, 8*F] physical table: phys[i][lane o] =
+    canon[i + offset_o] (mod T; dense levels never read wrapped rows).
+    Eight rolls = one bandwidth pass per step, negligible next to the
+    gathers it saves."""
+    levels = []
+    for level in range(table.shape[0]):
+        offs = _oct_offsets(int(resolutions[level]), table_size)
+        t = table[level]
+        levels.append(
+            jnp.concatenate(
+                [t if o == 0 else jnp.roll(t, -o, axis=0) for o in offs],
+                axis=-1,
+            )
+        )
+    return jnp.stack(levels)
+
+
+def _oct_indices_weights(x, resolutions, table_size: int):
+    """Oct-layout gather plan: (idx [..., L] rows into the flattened [L*T]
+    phys table, w [..., L, 8] corner-bit-ordered trilinear weights)."""
+    n_levels = len(resolutions)
+    x = jnp.clip(x, 0.0, 1.0)
+    idx_levels, w_levels = [], []
+    for level in range(n_levels):
+        res = int(resolutions[level])
+        pos = x * res
+        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
+        frac = pos - cell
+        base, _ = _quad_base_index(cell, res, table_size)
+        idx_levels.append(base + level * table_size)
+        w_levels.append(
+            jnp.prod(
+                jnp.where(
+                    _CORNERS[:, :] == 1,
+                    frac[..., None, :],
+                    1.0 - frac[..., None, :],
+                ),
+                axis=-1,
+            )
+        )
+    return jnp.stack(idx_levels, axis=-1), jnp.stack(w_levels, axis=-2)
+
+
+def encode_oct(x, table, resolutions, table_size: int):
+    """Hash-encode via the oct-packed layout (1 gather per sample-level).
+
+    Same hash as the quad layout (outputs match encode_quad exactly);
+    differentiable as-is, but the training path wraps it in
+    `_oct_grad_encode`'s custom VJP."""
+    n_levels, _, n_feats = table.shape
+    idx, w_all = _oct_indices_weights(x, resolutions, table_size)
+    phys = build_oct_table(table, resolutions, table_size)
+    rows = jnp.take(phys.reshape(-1, 8 * n_feats), idx, axis=0)
+    feats = rows.reshape(rows.shape[:-1] + (8, n_feats))
+    out = jnp.sum(w_all[..., None] * feats, axis=-2)  # [..., L, F]
+    return out.reshape(out.shape[:-2] + (n_levels * n_feats,))
+
+
+def _trilinear_dx(x, resolutions, s):
+    """dL/dx from per-corner sums `s` [..., L, 8] (corner-bit lane order):
+    dw/dx_d = res * sign_d * prod_{d' != d} f_{d'} (shared by the corner and
+    oct gradient paths)."""
+    xc = jnp.clip(x, 0.0, 1.0)
+    dx = jnp.zeros_like(x)
+    for level in range(len(resolutions)):
+        r = float(resolutions[level])
+        pos = xc * r
+        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, int(r) - 1)
+        frac = pos - cell  # [..., 3]
+        fd = jnp.where(
+            _CORNERS[:, :] == 1, frac[..., None, :], 1.0 - frac[..., None, :]
+        )  # [..., 8, 3]
+        sign = jnp.where(_CORNERS[:, :] == 1, 1.0, -1.0)
+        f0, f1, f2 = fd[..., 0], fd[..., 1], fd[..., 2]
+        others = jnp.stack([f1 * f2, f0 * f2, f0 * f1], axis=-1)
+        dw_dx = r * sign * others  # [..., 8, 3]
+        dx = dx + jnp.sum(s[..., level, :, None] * dw_dx, axis=-2)
+    in_range = (x > 0.0) & (x < 1.0)
+    return jnp.where(in_range, dx, 0.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _oct_grad_encode(resolutions_key: tuple, table_size: int):
+    """encode_oct() under a custom VJP: packed-space sorted-segment table
+    gradient (8x fewer reduction entries than corner space) folded back to
+    the canonical table by eight rolls; analytic trilinear x gradient."""
+    resolutions = np.asarray(resolutions_key, np.int32)
+    n_levels = len(resolutions_key)
+
+    @jax.custom_vjp
+    def fn(x, table):
+        return encode_oct(x, table, resolutions, table_size)
+
+    def fwd(x, table):
+        n_feats = table.shape[-1]
+        idx, w_all = _oct_indices_weights(x, resolutions, table_size)
+        phys = build_oct_table(table, resolutions, table_size)
+        rows = jnp.take(phys.reshape(-1, 8 * n_feats), idx, axis=0)
+        feats = rows.reshape(rows.shape[:-1] + (8, n_feats))
+        out = jnp.sum(w_all[..., None] * feats, axis=-2)
+        out = out.reshape(out.shape[:-2] + (n_levels * n_feats,))
+        return out, (x, idx, w_all, feats, table.shape)
+
+    def bwd(res, g):
+        x, idx, w_all, feats, table_shape = res
+        n_feats = table_shape[-1]
+        g_lf = g.reshape(g.shape[:-1] + (n_levels, n_feats))
+
+        # d(gathered phys rows) [..., L, 8, F], reduced in packed space.
+        vals = w_all[..., None] * g_lf[..., None, :]
+        pg = _sorted_row_sums_gather(
+            idx.reshape(-1),
+            vals.reshape(-1, 8 * n_feats),
+            n_levels * table_size,
+        ).reshape(n_levels, table_size, 8, n_feats)
+        # canon[j] appears in phys[j - offset_o][lane o]: fold with rolls.
+        canon_levels = []
+        for level in range(n_levels):
+            offs = _oct_offsets(int(resolutions_key[level]), table_size)
+            p = pg[level]
+            acc = p[:, 0]
+            for lane, o in enumerate(offs[1:], start=1):
+                acc = acc + jnp.roll(p[:, lane], o, axis=0)
+            canon_levels.append(acc)
+        dtable = jnp.stack(canon_levels)
+
+        s = jnp.sum(g_lf[..., None, :] * feats, axis=-1)  # [..., L, 8]
+        return _trilinear_dx(x, resolutions_key, s), dtable
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def _sorted_row_sums_gather(flat_idx, vals, n_rows: int):
     """`_sorted_row_sums` variant for WIDE value rows: the sorts carry only
     (key, position) — two int32 operands — and the values follow by one
@@ -529,12 +685,13 @@ class HashGridEncoding(nn.Module):
     # (`_sorted_row_sums`, ~1 s at the same shape). "auto" = sorted on
     # TPU, scatter elsewhere.
     grad_mode: str = "auto"
-    # Table layout. "quad" (default) = y,z-linear hash with 4-corner row
-    # packing: 2 gathers per (sample, level) and a 4x smaller backward
-    # reduction (see module docstring). "corner" = classic XOR-prime hash,
-    # 8 gathers. The two layouts hash differently, so trained tables are
-    # NOT interchangeable across layouts.
-    layout: str = "quad"
+    # Table layout. "oct" (default) = fully-linear hash with 8-corner row
+    # packing: ONE gather per (sample, level) and an 8x smaller backward
+    # reduction domain. "quad" = same hash, 4-corner rows (2 gathers).
+    # "corner" = classic XOR-prime hash, 8 gathers. oct and quad hash
+    # identically (tables interchangeable); corner does NOT — checkpoints
+    # record the layout and refuse cross-layout restores.
+    layout: str = "oct"
     compute_dtype: Any = jnp.float32
 
     @property
@@ -543,19 +700,19 @@ class HashGridEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.layout not in ("quad", "corner"):
+        if self.layout not in ("oct", "quad", "corner"):
             raise ValueError(
                 f"unknown hash-grid layout {self.layout!r}; "
-                "expected 'quad' or 'corner'"
+                "expected 'oct', 'quad' or 'corner'"
             )
-        if self.layout == "quad" and self.pack_rows > 1:
+        if self.layout in ("oct", "quad") and self.pack_rows > 1:
             # The pack_rows path interprets indices under the corner XOR
             # hash; letting a perf knob silently change the hash function
             # would corrupt trained tables (ADVICE r2, medium).
             raise ValueError(
-                "layout='quad' is incompatible with pack_rows>1 (the packed "
-                "path uses the corner hash); set pack_rows=0 or "
-                "layout='corner'"
+                f"layout={self.layout!r} is incompatible with pack_rows>1 "
+                "(the packed path uses the corner hash); set pack_rows=0 "
+                "or layout='corner'"
             )
         table_size = 2**self.log2_table_size
         resolutions = level_resolutions(
@@ -581,7 +738,15 @@ class HashGridEncoding(nn.Module):
         use_sorted = self.grad_mode == "sorted" or (
             self.grad_mode == "auto" and jax.default_backend() == "tpu"
         )
-        if self.layout == "quad" and pack == 0:
+        if self.layout == "oct" and pack == 0:
+            if use_sorted:
+                fn = _oct_grad_encode(
+                    tuple(int(r) for r in resolutions), table_size
+                )
+                out = fn(x, table)
+            else:
+                out = encode_oct(x, table, resolutions, table_size)
+        elif self.layout == "quad" and pack == 0:
             if use_sorted:
                 fn = _quad_grad_encode(
                     tuple(int(r) for r in resolutions), table_size

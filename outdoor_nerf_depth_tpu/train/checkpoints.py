@@ -66,6 +66,41 @@ def check_model_meta(directory: str, expected: Dict[str, Any]):
         )
 
 
+def export_slim(path: str, params: Any, occupancy: Any = None,
+                meta: Optional[Dict[str, Any]] = None, step: int = 0):
+    """Params-only checkpoint export (the reference's "slim ckpt",
+    `ngp-depth/utils.py:29-39`): drops the optimizer state — typically a
+    3x size cut — for render/viewer/distribution use. The occupancy grid
+    is embedded optionally (the eval renderer wants it; the reference
+    drops its density grid and re-derives). Single msgpack file.
+    """
+    import flax.serialization as ser
+    import jax
+    import numpy as np
+
+    payload = {
+        "params": jax.tree_util.tree_map(np.asarray, jax.device_get(params)),
+        "meta": dict(meta or {}),
+        "step": int(step),
+    }
+    if occupancy is not None:
+        payload["occupancy"] = np.asarray(jax.device_get(occupancy))
+    if os.path.dirname(path):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(ser.msgpack_serialize(payload))
+
+
+def load_slim(path: str) -> Dict[str, Any]:
+    """Load a slim checkpoint written by `export_slim`.
+
+    Returns {"params", "meta", "step"[, "occupancy"]}."""
+    import flax.serialization as ser
+
+    with open(path, "rb") as f:
+        return ser.msgpack_restore(f.read())
+
+
 class CheckpointManager:
     def __init__(self, directory: str, keep: int = 3):
         directory = os.path.abspath(directory)

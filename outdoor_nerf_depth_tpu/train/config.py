@@ -112,6 +112,10 @@ class Config:
     print_every: int = 100
     checkpoint_every: int = 5000
     keep_checkpoints: int = 3
+    # Params-only "slim" checkpoint (tools/slim_checkpoint.py): when set,
+    # eval/render/viewer restore from this file instead of exp_dir's
+    # orbax bundles (reference `ngp-depth/utils.py:29-39` semantics).
+    slim_checkpoint: str = ""
     train_render_every: int = 0
     render_chunk_size: int = 16384
     eval_depth_cap: float = 80.0

@@ -65,7 +65,10 @@ def checkpoint_meta(config: Config, model) -> dict:
         model, "effective_hash_layout", getattr(model, "hash_layout", None)
     )
     if layout is not None:
-        meta["hash_layout"] = layout
+        # oct and quad pack the same fully-linear hash differently, so
+        # their trained tables are interchangeable; corner's XOR hash is
+        # not. The sidecar records the hash FUNCTION, the actual invariant.
+        meta["hash_function"] = "corner" if layout == "corner" else "linear"
     return meta
 
 
@@ -440,6 +443,28 @@ def load_checkpoint(config: Config, rng=None):
         if isinstance(model, HashGridModel)
         else None
     )
+    if config.slim_checkpoint:
+        payload = ckpt_lib.load_slim(config.slim_checkpoint)
+        expected = checkpoint_meta(config, model)
+        stored = payload.get("meta", {})
+        mismatches = {
+            k: (stored[k], expected[k])
+            for k in expected
+            if k in stored and stored[k] != expected[k]
+        }
+        if mismatches:
+            raise ValueError(
+                f"slim checkpoint {config.slim_checkpoint!r} was written "
+                f"by an incompatible model configuration: {mismatches}"
+            )
+        if "occupancy" in payload:
+            occupancy = jnp.asarray(payload["occupancy"])
+        return (
+            model,
+            state.replace(params=payload["params"]),
+            occupancy,
+            int(payload.get("step", 0)),
+        )
     ckpt_dir = os.path.join(config.exp_dir, "checkpoints")
     ckpt_lib.check_model_meta(ckpt_dir, checkpoint_meta(config, model))
     ckpt = ckpt_lib.CheckpointManager(

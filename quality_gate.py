@@ -128,6 +128,10 @@ def run_gate(name: str, exp_root: str, steps_scale: float = 1.0):
         train_render_every=0,
         compute_ssim=True,
         render_chunk_size=8192,
+        # Dispatch fusion keeps the gate fast enough to run every round
+        # (VERDICT r2 weak #4: the NGP gate took 1402 s un-fused). The
+        # math is unchanged — K sequential fwd+bwd+adam per jitted call.
+        steps_per_dispatch=8,
         exp_dir=os.path.join(exp_root, name),
         **gate["config"],
     )

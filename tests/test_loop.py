@@ -196,10 +196,75 @@ class TestTrainLoop:
         flipped = config.replace(
             model_params={**ngp_params, "hash_layout": "corner"}, max_steps=4
         )
-        with pytest.raises(ValueError, match="hash_layout"):
+        with pytest.raises(ValueError, match="hash_function"):
             train(flipped, log_fn=lambda s: None)
-        with pytest.raises(ValueError, match="hash_layout"):
+        with pytest.raises(ValueError, match="hash_function"):
             step_lib.load_checkpoint(flipped)
-        # The matching layout restores fine.
+        # The matching layout restores fine, and so does oct: it packs the
+        # same fully-linear hash as quad, so tables are interchangeable.
         model, _, _, step = step_lib.load_checkpoint(config)
         assert step == 2
+        oct_config = config.replace(
+            model_params={**ngp_params, "hash_layout": "oct"}
+        )
+        _, _, _, step = step_lib.load_checkpoint(oct_config)
+        assert step == 2
+
+    def test_slim_checkpoint_roundtrip(self, tmp_path):
+        """Slim export (params only, reference `ngp-depth/utils.py:29-39`)
+        must restore params bit-exactly and refuse incompatible models."""
+        import subprocess
+        import sys as _sys
+
+        import jax
+        import pytest
+
+        from outdoor_nerf_depth_tpu.train import step as step_lib
+
+        config = Config(
+            model="mipnerf360",
+            model_params=TINY,
+            dataset="synthetic",
+            batch_size=32,
+            max_steps=2,
+            print_every=2,
+            checkpoint_every=2,
+            lr_delay_steps=0,
+            exp_dir=str(tmp_path / "exp"),
+        )
+        train(config, log_fn=lambda s: None)
+        out = str(tmp_path / "slim.msgpack")
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [_sys.executable, os.path.join(root, "tools", "slim_checkpoint.py"),
+             config.exp_dir, out],
+            capture_output=True, text=True, cwd=root,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert os.path.getsize(out) > 0
+
+        _, full_state, _, _ = step_lib.load_checkpoint(config)
+        slim_config = config.replace(slim_checkpoint=out)
+        _, slim_state, _, step = step_lib.load_checkpoint(slim_config)
+        assert step == 2
+        for a, b in zip(
+            jax.tree_util.tree_leaves(full_state.params),
+            jax.tree_util.tree_leaves(slim_state.params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # Slim is smaller than the orbax bundle (optimizer state dropped).
+        bundle_dir = os.path.join(config.exp_dir, "checkpoints", "2")
+        bundle_size = sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(bundle_dir) for f in fs
+        )
+        assert os.path.getsize(out) < 0.6 * bundle_size
+        # Wrong model family refuses loudly.
+        with pytest.raises(ValueError, match="incompatible"):
+            step_lib.load_checkpoint(
+                slim_config.replace(model="nerfpp", model_params=dict(
+                    cascade_samples=[4, 4], net_depth=2, net_width=16,
+                    pos_degrees=4, view_degrees=2,
+                ))
+            )

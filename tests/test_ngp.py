@@ -207,6 +207,50 @@ class TestHashGrid:
             np.asarray(gx_s), np.asarray(gx_p), rtol=1e-4, atol=1e-5
         )
 
+    def test_oct_encode_matches_quad(self):
+        """oct (1 gather, 8-corner rows) and quad (2 gathers) pack the SAME
+        fully-linear hash: outputs must agree exactly on the same table,
+        across dense and hashed levels."""
+        rng = jax.random.PRNGKey(21)
+        x = jax.random.uniform(rng, (211, 3))
+        table = jax.random.normal(jax.random.fold_in(rng, 1), (4, 2**10, 2))
+        res = hashgrid.level_resolutions(4, 4, 64)  # mix of dense + hashed
+        a = hashgrid.encode_oct(x, table, res, 2**10)
+        b = hashgrid.encode_quad(x, table, res, 2**10)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_oct_grad_matches_autodiff(self):
+        """Oct custom VJP (packed sorted reduction + 8-roll fold, analytic
+        x grad) must match plain AD through encode_oct's scatter path."""
+        rng = jax.random.PRNGKey(22)
+        x = jax.random.uniform(rng, (97, 3), minval=0.01, maxval=0.99)
+        table = jax.random.normal(jax.random.fold_in(rng, 1), (4, 2**10, 2))
+        res = hashgrid.level_resolutions(4, 4, 64)
+        fn = hashgrid._oct_grad_encode(tuple(int(r) for r in res), 2**10)
+
+        np.testing.assert_allclose(
+            np.asarray(fn(x, table)),
+            np.asarray(hashgrid.encode_oct(x, table, res, 2**10)),
+            rtol=1e-6,
+        )
+
+        def loss_sorted(x, t):
+            return jnp.sum(jnp.sin(3.0 * fn(x, t)))
+
+        def loss_plain(x, t):
+            return jnp.sum(
+                jnp.sin(3.0 * hashgrid.encode_oct(x, t, res, 2**10))
+            )
+
+        gx_s, gt_s = jax.grad(loss_sorted, argnums=(0, 1))(x, table)
+        gx_p, gt_p = jax.grad(loss_plain, argnums=(0, 1))(x, table)
+        np.testing.assert_allclose(
+            np.asarray(gt_s), np.asarray(gt_p), rtol=1e-2, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gx_s), np.asarray(gx_p), rtol=1e-4, atol=1e-5
+        )
+
     def test_sorted_row_sums_gather_variant(self):
         rng = np.random.default_rng(13)
         idx = jnp.asarray(rng.integers(0, 50, (4096,)), jnp.int32)
@@ -218,9 +262,9 @@ class TestHashGrid:
                                    atol=2e-3)
 
     def test_layouts_both_train(self):
-        # Both layouts expose the same module contract; a gradient step
-        # moves only touched rows in either.
-        for layout in ("quad", "corner"):
+        # All layouts expose the same module contract; a gradient step
+        # moves only touched rows in any.
+        for layout in ("oct", "quad", "corner"):
             enc = hashgrid.HashGridEncoding(
                 n_levels=2, n_features=2, log2_table_size=10,
                 base_resolution=4, max_resolution=8, layout=layout)

@@ -235,3 +235,164 @@ class TestDngMetadata:
         p.write_bytes(b"not a tiff")
         with pytest.raises(ValueError):
             raw.read_dng_metadata(str(p))
+
+
+def _write_dng(path, mosaic, tiled=False, cfa=(0, 1, 1, 2), compression=1):
+    """Synthesize an uncompressed DNG: IFD0 carries a SubIFDs pointer to
+    the raw CFA IFD (the layout real DNGs use — IFD0 is a preview)."""
+    import struct
+
+    h, w = mosaic.shape
+    entries = []  # (tag, ftype, count, payload_bytes)
+
+    def add(tag, ftype, count, payload):
+        entries.append((tag, ftype, count, payload))
+
+    add(0x0100, 4, 1, struct.pack("<I", w))
+    add(0x0101, 4, 1, struct.pack("<I", h))
+    add(0x0102, 3, 1, struct.pack("<H", 16))
+    add(0x0103, 3, 1, struct.pack("<H", compression))
+    add(0x0106, 3, 1, struct.pack("<H", 32803))  # CFA
+    add(0x0115, 3, 1, struct.pack("<H", 1))
+    add(0x828E, 1, 4, bytes(cfa))
+    pix = mosaic.astype("<u2").tobytes()
+    if tiled:
+        tw = th = 8
+        tiles = []
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                tile = np.zeros((th, tw), "<u2")
+                ys, xs = min(th, h - y0), min(tw, w - x0)
+                tile[:ys, :xs] = mosaic[y0 : y0 + ys, x0 : x0 + xs]
+                tiles.append(tile.tobytes())
+        add(0x0142, 4, 1, struct.pack("<I", tw))
+        add(0x0143, 4, 1, struct.pack("<I", th))
+        n = len(tiles)
+        add(0x0144, 4, n, b"\0" * 4 * n)  # offsets patched below
+        add(0x0145, 4, n, struct.pack(f"<{n}I", *[len(t) for t in tiles]))
+        pix_chunks = tiles
+    else:
+        rps = 4
+        strips = [
+            mosaic[y : y + rps].astype("<u2").tobytes()
+            for y in range(0, h, rps)
+        ]
+        n = len(strips)
+        add(0x0116, 4, 1, struct.pack("<I", rps))
+        add(0x0111, 4, n, b"\0" * 4 * n)  # offsets patched below
+        add(0x0117, 4, n, struct.pack(f"<{n}I", *[len(s) for s in strips]))
+        pix_chunks = strips
+
+    # IFD0: dims of a fake preview + SubIFDs pointer to the raw IFD.
+    ifd0_n = 3
+    ifd0_off = 8
+    raw_off = ifd0_off + 2 + 12 * ifd0_n + 4
+    raw_n = len(entries)
+    heap_base = raw_off + 2 + 12 * raw_n + 4
+    heap = bytearray()
+
+    def pack_entry(tag, ftype, count, payload):
+        if len(payload) <= 4:
+            return struct.pack("<HHI", tag, ftype, count) + payload + b"\0" * (
+                4 - len(payload)
+            )
+        ptr = heap_base + len(heap)
+        heap.extend(payload)
+        return struct.pack("<HHI", tag, ftype, count) + struct.pack("<I", ptr)
+
+    # Data chunks go after the heap; patch offsets into the entry payloads.
+    heap_tmp_len = sum(len(p) for _, _, _, p in entries if len(p) > 4)
+    data_base = heap_base + heap_tmp_len
+    offs, pos = [], data_base
+    for c in pix_chunks:
+        offs.append(pos)
+        pos += len(c)
+    n = len(pix_chunks)
+    off_payload = struct.pack(f"<{n}I", *offs)
+    entries = [
+        (t, ft, cn, off_payload if t in (0x0111, 0x0144) else p)
+        for (t, ft, cn, p) in entries
+    ]
+
+    ifd0 = struct.pack("<H", ifd0_n)
+    ifd0 += pack_entry(0x0100, 4, 1, struct.pack("<I", 4))
+    ifd0 += pack_entry(0x0101, 4, 1, struct.pack("<I", 4))
+    ifd0 += pack_entry(0x014A, 4, 1, struct.pack("<I", raw_off))
+    ifd0 += struct.pack("<I", 0)
+    raw_ifd = struct.pack("<H", raw_n)
+    for t, ft, cn, p in entries:
+        raw_ifd += pack_entry(t, ft, cn, p)
+    raw_ifd += struct.pack("<I", 0)
+
+    with open(path, "wb") as f:
+        f.write(b"II" + __import__("struct").pack("<HI", 42, ifd0_off))
+        f.write(ifd0)
+        f.write(raw_ifd)
+        f.write(bytes(heap))
+        for c in pix_chunks:
+            f.write(c)
+
+
+class TestDngPixelDecode:
+    """Uncompressed-DNG mosaic decode (VERDICT r2 #9): strip and tile
+    layouts, CFA phase normalization, loud rejection of compressed files."""
+
+    def _mosaic(self, h=16, w=32, seed=0):
+        return np.random.default_rng(seed).integers(
+            0, 2**14, (h, w)
+        ).astype(np.uint16)
+
+    def test_strip_roundtrip(self, tmp_path):
+        m = self._mosaic()
+        p = str(tmp_path / "strips.dng")
+        _write_dng(p, m, tiled=False)
+        got, meta = raw.read_dng(p)
+        np.testing.assert_array_equal(got, m)
+
+    def test_tile_roundtrip(self, tmp_path):
+        m = self._mosaic(h=20, w=28)  # non-multiple of tile size
+        p = str(tmp_path / "tiles.dng")
+        _write_dng(p, m, tiled=True)
+        got, _ = raw.read_dng(p)
+        np.testing.assert_array_equal(got, m)
+
+    def test_cfa_phase_normalized(self, tmp_path):
+        # A GRBG file must come back shifted into RGGB phase: the pixel at
+        # (0, 1) of the GRBG mosaic is the R sample that leads RGGB.
+        m = self._mosaic()
+        p = str(tmp_path / "grbg.dng")
+        _write_dng(p, m, tiled=False, cfa=(1, 0, 2, 1))  # GRBG
+        got, _ = raw.read_dng(p)
+        np.testing.assert_array_equal(got, m[:, 1:31])
+
+    def test_compressed_rejected(self, tmp_path):
+        m = self._mosaic()
+        p = str(tmp_path / "ljpeg.dng")
+        _write_dng(p, m, compression=7)
+        with pytest.raises(ValueError, match="compression 7"):
+            raw.read_dng(p)
+
+    def test_full_pipeline_from_dngs(self, tmp_path):
+        # Decode -> assemble_raw_dataset: demosaic + exposure bookkeeping
+        # runs end-to-end from files on disk.
+        paths = []
+        for i in range(2):
+            m = self._mosaic(seed=i)
+            p = str(tmp_path / f"f{i}.dng")
+            _write_dng(p, m)
+            paths.append(p)
+        # read_dng returns metadata lacking exposure tags in this synthetic
+        # file; patch assemble inputs through the public API instead.
+        mosaics = [raw.read_dng(p)[0] for p in paths]
+        metas = [
+            dict(ExposureTime=1 / 60, ISOSpeedRatings=800,
+                 AsShotNeutral=[1.0, 1.0, 1.0], BlackLevel=0.0,
+                 WhiteLevel=2**14,
+                 ColorMatrix2=list(np.linalg.inv(raw._RGB2XYZ).reshape(-1)))
+            for _ in paths
+        ]
+        out = raw.assemble_raw_dataset(
+            np.stack(mosaics).astype(np.float32), metas
+        )
+        images = out["images"] if isinstance(out, dict) else out[0]
+        assert np.asarray(images).shape[-1] == 3
