@@ -530,7 +530,12 @@ def _run_workload(name: str, deadline: float):
             "error": meas.get("error", "unknown"),
             "warm_error": warm_res.get("error", "unknown"),
         }
-    meas = attempt(warm=False, base_timeout=MEASURE_TIMEOUT_S)
+    # Some programs (e.g. the eval renderer's while_loop) don't replay
+    # from the persistent cache, so the measure pass may re-pay the warm
+    # pass's compile: budget at least what warming took, plus slack.
+    warm_s = float(warm_res.get("elapsed_s", 0.0))
+    meas_timeout = max(MEASURE_TIMEOUT_S, int(1.5 * warm_s) + 60)
+    meas = attempt(warm=False, base_timeout=meas_timeout)
     if meas.get("ok"):
         return meas["result"]
     return {"error": meas.get("error", "unknown"), "warmed": True}

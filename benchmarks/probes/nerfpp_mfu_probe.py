@@ -13,6 +13,14 @@ was dispatch latency.
 Run from the repo root on the TPU: timeout 3000 python benchmarks/probes/nerfpp_mfu_probe.py
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+)
+
 import outdoor_nerf_depth_tpu as _ondt
 
 _ondt.apply_platform_env()

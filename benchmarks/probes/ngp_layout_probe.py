@@ -12,13 +12,20 @@ fetch measure ~nothing.
 Run from the repo root: `timeout 550 python benchmarks/probes/ngp_layout_probe.py [layouts]`
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+)
+
 import outdoor_nerf_depth_tpu as _ondt
 
 _ondt.apply_platform_env()
 _ondt.enable_compilation_cache()
 
 import json
-import sys
 import time
 
 import jax

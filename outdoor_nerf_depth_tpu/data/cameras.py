@@ -280,6 +280,36 @@ def normalize_poses_min_norm(poses: np.ndarray, points: Optional[np.ndarray] = N
     return out, scale
 
 
+def rays_to_ndc(origins, directions, pixtocam, near: float = 1.0, xnp=np):
+    """Map world-space rays into normalized device coordinates.
+
+    The forward-facing (LLFF-style) parametrization of NeRF Appendix C,
+    capability parity with `mipnerf360/internal/camera_utils.py:32-97`:
+    assumes a pinhole camera at the identity pose looking down -z. Origins
+    are slid to the near plane (new near bound 0), then the t=0 and t=inf
+    points are perspective-projected; `directions_ndc` spans exactly
+    [near plane, infinity] -> NDC z in [-1, 1], so sampling s in [0, 1]
+    of `origins_ndc + s * directions_ndc` covers the whole frustum.
+    Directions are NOT unit length by construction.
+    """
+    t_near = -(near + origins[..., 2]) / directions[..., 2]
+    origins = origins + t_near[..., None] * directions
+
+    ox, oy, oz = (origins[..., i] for i in range(3))
+    dx, dy, dz = (directions[..., i] for i in range(3))
+    # 1/cx' and 1/cy' of the NDC viewport: pixtocam[0, 2] = -cx/f.
+    xmult = 1.0 / pixtocam[0, 2]
+    ymult = 1.0 / pixtocam[1, 2]
+
+    origins_ndc = xnp.stack(
+        [xmult * ox / oz, ymult * oy / oz, -xnp.ones_like(oz)], axis=-1
+    )
+    infinity_ndc = xnp.stack(
+        [xmult * dx / dz, ymult * dy / dz, xnp.ones_like(oz)], axis=-1
+    )
+    return origins_ndc, infinity_ndc - origins_ndc
+
+
 def generate_ellipse_path(
     poses: np.ndarray,
     n_frames: int = 120,

@@ -90,9 +90,14 @@ class HashGridField(nn.Module):
         e_max = float(occ.cascade_extents(self.scale)[-1])
         return x / (2.0 * e_max) + 0.5
 
-    def density(self, x):
+    def prepare_tables(self):
+        """Precompute the packed hash table for repeated frozen-param
+        encodes (see HashGridEncoding.prepare). None for corner layout."""
+        return self.encoder.prepare()
+
+    def density(self, x, prepared=None):
         """sigma [..., ], geo features [..., geo_features]."""
-        enc = self.encoder(self._normalize(x))
+        enc = self.encoder(self._normalize(x), prepared=prepared)
         h = nn.relu(self.sigma_hidden(enc))
         h = self.sigma_out(h).astype(jnp.float32)
         sigma = hashgrid.truncated_exp(h[..., 0])
@@ -110,9 +115,10 @@ class HashGridField(nn.Module):
             chans.append(nn.sigmoid(self.tonemap_out[i](h).astype(jnp.float32)))
         return jnp.concatenate(chans, axis=-1)
 
-    def __call__(self, x, viewdirs, exposure=None, output_radiance=False):
+    def __call__(self, x, viewdirs, exposure=None, output_radiance=False,
+                 prepared=None):
         """x [..., 3] world points; viewdirs [..., 3] unit. -> (sigma, rgb)."""
-        sigma, feats = self.density(x)
+        sigma, feats = self.density(x, prepared=prepared)
         sh = hashgrid.spherical_harmonics(viewdirs)
         sh = jnp.broadcast_to(sh, feats.shape[:-1] + (sh.shape[-1],))
         y = jnp.concatenate([sh, feats], axis=-1).astype(self.compute_dtype)
@@ -214,9 +220,15 @@ class HashGridModel(nn.Module):
             origins=rays.origins + dt, directions=new_dirs, viewdirs=new_view
         )
 
-    def density(self, x):
+    def density(self, x, prepared=None):
         """Expose raw density for occupancy-grid refreshes."""
-        return self.field.density(x)[0]
+        return self.field.density(x, prepared=prepared)[0]
+
+    def prepare_tables(self):
+        """Packed hash table for repeated frozen-param density sweeps
+        (occupancy refreshes chunk via lax.map — without this each chunk
+        rebuilds the packed table)."""
+        return self.field.prepare_tables()
 
     def __call__(
         self,
@@ -384,6 +396,11 @@ class HashGridModel(nn.Module):
         if exposure is not None:
             exposure = exposure[..., None, :]
 
+        # Build the packed hash table ONCE, outside the while_loop: params
+        # are frozen at eval, and rebuilding it in the body costs ~0.5 GB
+        # of HBM traffic per round (x up to max_rounds per render call).
+        prepared = self.field.prepare_tables()
+
         def cond(s):
             return jnp.any(s["alive"]) & (s["round"] < max_rounds)
 
@@ -423,6 +440,7 @@ class HashGridModel(nn.Module):
                     rays.viewdirs[..., None, :],
                     exposure=exposure,
                     output_radiance=self.output_radiance,
+                    prepared=prepared,
                 )
                 return sigma.astype(jnp.float32), rgb.astype(jnp.float32)
 

@@ -309,17 +309,19 @@ def build_quad_table(table, resolutions, table_size: int):
     return jnp.stack(levels)
 
 
-def encode_quad(x, table, resolutions, table_size: int):
+def encode_quad(x, table, resolutions, table_size: int, phys=None):
     """Hash-encode via the quad-packed layout (2 gathers per sample-level).
 
     Differentiable as-is (jnp.take AD gives a scatter backward); the TPU
     training path wraps it in `_quad_grad_encode`'s custom VJP instead.
     Note the hash differs from `encode`'s XOR hash, so outputs are not
     numerically comparable across layouts (only capability-equivalent).
+    `phys` as in `encode_oct`.
     """
     n_levels, _, n_feats = table.shape
     idx, w_all = _quad_indices_weights(x, resolutions, table_size)
-    phys = build_quad_table(table, resolutions, table_size)
+    if phys is None:
+        phys = build_quad_table(table, resolutions, table_size)
     rows = jnp.take(phys.reshape(-1, 4 * n_feats), idx, axis=0)
     # [..., L, 2, 4F] -> [..., L, 8, F]: minor split, (cx, q) matches w_all.
     feats = rows.reshape(rows.shape[:-2] + (8, n_feats))
@@ -393,15 +395,20 @@ def _oct_indices_weights(x, resolutions, table_size: int):
     return jnp.stack(idx_levels, axis=-1), jnp.stack(w_levels, axis=-2)
 
 
-def encode_oct(x, table, resolutions, table_size: int):
+def encode_oct(x, table, resolutions, table_size: int, phys=None):
     """Hash-encode via the oct-packed layout (1 gather per sample-level).
 
     Same hash as the quad layout (outputs match encode_quad exactly);
     differentiable as-is, but the training path wraps it in
-    `_oct_grad_encode`'s custom VJP."""
+    `_oct_grad_encode`'s custom VJP. Pass a precomputed `phys`
+    (`build_oct_table`) when calling repeatedly — e.g. from the iterative
+    eval renderer's while_loop, where rebuilding the packed table every
+    round would cost ~0.5 GB of HBM traffic per round.
+    """
     n_levels, _, n_feats = table.shape
     idx, w_all = _oct_indices_weights(x, resolutions, table_size)
-    phys = build_oct_table(table, resolutions, table_size)
+    if phys is None:
+        phys = build_oct_table(table, resolutions, table_size)
     rows = jnp.take(phys.reshape(-1, 8 * n_feats), idx, axis=0)
     feats = rows.reshape(rows.shape[:-1] + (8, n_feats))
     out = jnp.sum(w_all[..., None] * feats, axis=-2)  # [..., L, F]
@@ -698,8 +705,7 @@ class HashGridEncoding(nn.Module):
     def out_dim(self) -> int:
         return self.n_levels * self.n_features
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         if self.layout not in ("oct", "quad", "corner"):
             raise ValueError(
                 f"unknown hash-grid layout {self.layout!r}; "
@@ -715,10 +721,7 @@ class HashGridEncoding(nn.Module):
                 "or layout='corner'"
             )
         table_size = 2**self.log2_table_size
-        resolutions = level_resolutions(
-            self.n_levels, self.base_resolution, self.max_resolution
-        )
-        table = self.param(
+        self.table = self.param(
             "table",
             lambda key: jax.random.uniform(
                 key,
@@ -727,6 +730,34 @@ class HashGridEncoding(nn.Module):
                 maxval=self.init_scale,
             ),
         )
+
+    def _resolutions(self):
+        return level_resolutions(
+            self.n_levels, self.base_resolution, self.max_resolution
+        )
+
+    def prepare(self):
+        """Precompute the packed physical table for repeated encodes.
+
+        The oct/quad layouts gather from a row-packed copy of the
+        canonical table (one cheap bandwidth pass to build). A caller
+        that encodes many times against FROZEN params — the iterative
+        eval renderer's while_loop rounds — must build it once outside
+        the loop and pass it back via `__call__(x, prepared=...)`;
+        rebuilt per round it costs ~0.5 GB of HBM traffic each time.
+        Returns None for the corner layout (nothing to pack).
+        """
+        table_size = 2**self.log2_table_size
+        if self.layout == "oct":
+            return build_oct_table(self.table, self._resolutions(), table_size)
+        if self.layout == "quad":
+            return build_quad_table(self.table, self._resolutions(), table_size)
+        return None
+
+    def __call__(self, x, prepared=None):
+        table_size = 2**self.log2_table_size
+        resolutions = self._resolutions()
+        table = self.table
         # The gather (and its transpose scatter-add) stay f32: XLA's TPU
         # fast-path scatter is f32-only — a bf16 table grad lowers to a
         # serial while-loop over the full corner buffer (measured: 6.7 TB
@@ -739,7 +770,9 @@ class HashGridEncoding(nn.Module):
             self.grad_mode == "auto" and jax.default_backend() == "tpu"
         )
         if self.layout == "oct" and pack == 0:
-            if use_sorted:
+            if prepared is not None:
+                out = encode_oct(x, table, resolutions, table_size, prepared)
+            elif use_sorted:
                 fn = _oct_grad_encode(
                     tuple(int(r) for r in resolutions), table_size
                 )
@@ -747,7 +780,9 @@ class HashGridEncoding(nn.Module):
             else:
                 out = encode_oct(x, table, resolutions, table_size)
         elif self.layout == "quad" and pack == 0:
-            if use_sorted:
+            if prepared is not None:
+                out = encode_quad(x, table, resolutions, table_size, prepared)
+            elif use_sorted:
                 fn = _quad_grad_encode(
                     tuple(int(r) for r in resolutions), table_size
                 )

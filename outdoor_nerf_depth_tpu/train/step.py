@@ -496,8 +496,11 @@ def make_occupancy_update_fn(config: Config, model, mesh):
         static_argnums=(3,),
     )
     def update(params, grid, rng, warmup):
+        # Pack the hash table once per refresh: the chunked lax.map sweep
+        # would otherwise rebuild it (~0.5 GB HBM traffic) per chunk.
+        prepared = model.apply(params, method=HashGridModel.prepare_tables)
         density_fn = lambda pts: model.apply(
-            params, pts, method=HashGridModel.density
+            params, pts, prepared, method=HashGridModel.density
         )
         return occ_lib.update_grid(
             rng,

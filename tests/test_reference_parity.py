@@ -334,6 +334,30 @@ class TestMipLoaderParity:
         assert ref["train"].images.shape[0] == ours["train"].images.shape[0] == 18
 
 
+class TestNdcParity:
+    def test_matches_reference_convert_to_ndc(self, mip_internal):
+        from outdoor_nerf_depth_tpu.data import cameras as our_cameras
+
+        rng = np.random.default_rng(5)
+        n = 64
+        origins = rng.normal(size=(n, 3)).astype(np.float64)
+        directions = rng.normal(size=(n, 3))
+        directions[:, 2] = -np.abs(directions[:, 2]) - 0.3  # dz < 0
+        origins[:, 2] = -np.abs(origins[:, 2]) - 2.0
+        focal, cx, cy = 400.0, 160.0, 120.0
+        pixtocam = np.linalg.inv(
+            np.array([[focal, 0, cx], [0, focal, cy], [0, 0, 1.0]])
+        )
+        ref_o, ref_d = mip_internal.camera_utils.convert_to_ndc(
+            origins, directions, pixtocam, near=1.0
+        )
+        our_o, our_d = our_cameras.rays_to_ndc(
+            origins, directions, pixtocam, near=1.0
+        )
+        np.testing.assert_allclose(our_o, ref_o, atol=1e-9)
+        np.testing.assert_allclose(our_d, ref_d, atol=1e-9)
+
+
 class TestMipSparseViewSplit:
     def test_sample_every_matches(self, mip_internal):
         """The sparse-view protocol: reference `datasets.py:741-760` vs our
