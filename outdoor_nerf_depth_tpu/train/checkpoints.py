@@ -22,6 +22,20 @@ import orbax.checkpoint as ocp
 META_FILENAME = "model_meta.json"
 
 
+def latest_step(directory: str) -> Optional[int]:
+    """Latest checkpointed step under `directory`, or None when no
+    checkpoint exists — a cheap directory probe (no orbax manager spin-up)
+    for the idempotent-run guard (reference `mipnerf360/train.py:54-57`)."""
+    if not os.path.isdir(directory):
+        return None
+    steps = [
+        int(name)
+        for name in os.listdir(directory)
+        if name.isdigit() and os.path.isdir(os.path.join(directory, name))
+    ]
+    return max(steps) if steps else None
+
+
 def write_model_meta(directory: str, meta: Dict[str, Any]):
     """Write the model-identity sidecar (idempotent; host 0 only callers)."""
     os.makedirs(directory, exist_ok=True)

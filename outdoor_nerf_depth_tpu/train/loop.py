@@ -124,6 +124,28 @@ def train(config: Config, max_steps: Optional[int] = None, log_fn=print):
     if jax.process_index() == 0:
         save_config(config, os.path.join(config.exp_dir, "config.json"))
 
+    # Idempotent-run guard (reference `mipnerf360/train.py:54-57` /
+    # `ddp_train_nerf.py:733-735`: exit when the run's final artifact already
+    # exists): a checkpoint at >= max_steps means this run finished — skip
+    # dataset/model setup entirely and hand back the restored state.
+    latest = ckpt_lib.latest_step(os.path.join(config.exp_dir, "checkpoints"))
+    if latest is not None and latest >= max_steps:
+        log_fn(json.dumps({"step": latest, "already_complete": True}))
+        rng = jax.random.PRNGKey(config.seed)
+        model, state = step_lib.init_state(config, rng)
+        occupancy = None
+        if config.model == "ngp":
+            from outdoor_nerf_depth_tpu.ops import occupancy as occ_lib
+
+            occupancy = occ_lib.init_grid(model.scale, model.grid_resolution)
+        ckpt = ckpt_lib.CheckpointManager(
+            os.path.join(config.exp_dir, "checkpoints"),
+            keep=config.keep_checkpoints,
+        )
+        restored, _ = ckpt.restore({"state": state, "occupancy": occupancy})
+        ckpt.close()
+        return restored["state"], [], restored["occupancy"]
+
     dataset = build_dataset(config, "train")
     if hasattr(dataset, "scene_scale"):
         config = config.replace(depth_scale=float(dataset.scene_scale))

@@ -3,6 +3,7 @@
 import json
 import os
 
+import jax
 import numpy as np
 
 from outdoor_nerf_depth_tpu.train.config import Config
@@ -45,9 +46,21 @@ class TestTrainLoop:
             os.path.join(config.exp_dir, "logs", "metrics.jsonl")
         ).read()
         assert "train_render/psnr" in logged
-        # Resume from the saved checkpoint: loop is a no-op at max_steps.
-        state2, history2, _ = train(config, log_fn=lambda s: None)
+        # Resume from the saved checkpoint: the idempotent-run guard
+        # (reference `mipnerf360/train.py:54-57`) short-circuits a finished
+        # run before dataset/model setup and returns the restored state.
+        lines2 = []
+        state2, history2, _ = train(config, log_fn=lambda s: lines2.append(s))
         assert history2 == []
+        assert any("already_complete" in l for l in lines2)
+        np.testing.assert_allclose(
+            np.asarray(
+                jax.tree_util.tree_leaves(state2.params)[0], np.float32
+            ),
+            np.asarray(
+                jax.tree_util.tree_leaves(state.params)[0], np.float32
+            ),
+        )
 
     def test_dispatch_fusion_cadences(self, tmp_path):
         """Regression: with steps_per_dispatch=8, render/ckpt/print cadences
