@@ -458,11 +458,16 @@ def _oct_grad_encode(resolutions_key: tuple, table_size: int):
         feats = rows.reshape(rows.shape[:-1] + (8, n_feats))
         out = jnp.sum(w_all[..., None] * feats, axis=-2)
         out = out.reshape(out.shape[:-2] + (n_levels * n_feats,))
-        return out, (x, idx, w_all, feats, table.shape)
+        # Save the 2-D gather output, NOT the [..., 8, F] view: a 4-D
+        # residual with (8, F)-minor dims tile-pads (8,128) — 64x — and has
+        # OOM'd compiles at the training shape (34 GB for a 537 MB logical
+        # array). `rows` is already materialized by the gather.
+        return out, (x, idx, w_all, rows, table.shape)
 
     def bwd(res, g):
-        x, idx, w_all, feats, table_shape = res
+        x, idx, w_all, rows, table_shape = res
         n_feats = table_shape[-1]
+        feats = rows.reshape(rows.shape[:-1] + (8, n_feats))
         g_lf = g.reshape(g.shape[:-1] + (n_levels, n_feats))
 
         # d(gathered phys rows) [..., L, 8, F], reduced in packed space.
@@ -541,11 +546,14 @@ def _quad_grad_encode(resolutions_key: tuple, table_size: int):
         feats = rows.reshape(rows.shape[:-2] + (8, n_feats))
         out = jnp.sum(w_all[..., None] * feats, axis=-2)
         out = out.reshape(out.shape[:-2] + (n_levels * n_feats,))
-        return out, (x, idx, w_all, feats, table.shape)
+        # Residual = the 3-D gather output (see the oct path: a 4-D
+        # [..., 8, F] residual tile-pads 64x and has OOM'd at 34 GB).
+        return out, (x, idx, w_all, rows, table.shape)
 
     def bwd(res, g):
-        x, idx, w_all, feats, table_shape = res
+        x, idx, w_all, rows, table_shape = res
         n_feats = table_shape[-1]
+        feats = rows.reshape(rows.shape[:-2] + (8, n_feats))
         g_lf = g.reshape(g.shape[:-1] + (n_levels, n_feats))
 
         # d(gathered phys rows): corner-indexed [..., L, 8, F], viewed as
