@@ -51,10 +51,16 @@ T = 2**LOG2T
 def timeit(fn, *args, n=8):
     out = fn(*args)
     jax.block_until_ready(out)
+    # The axon tunnel DEFERS unfetched outputs (CLAUDE.md): block_until_ready
+    # alone measures ~dispatch only. Fetch one scalar per iteration to force
+    # the computation; the [1,1]-slice transfer itself is negligible.
+    leaves = jax.tree_util.tree_leaves(out)
+    _ = float(jnp.sum(leaves[0].ravel()[:1]))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-        jax.block_until_ready(out)
+        leaves = jax.tree_util.tree_leaves(out)
+        _ = float(jnp.sum(leaves[0].ravel()[:1]))
     return (time.perf_counter() - t0) / n
 
 

@@ -351,37 +351,58 @@ def _oct_offsets(resolution: int, table_size: int):
             for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)]
 
 
+def _oct_level_rows(resolutions, table_size: int):
+    """Per-level row counts of the TRIMMED oct physical table.
+
+    Dense levels are injective: cell bases only ever index rows
+    [0, (res+1)^3), so the packed table need not carry the full T rows.
+    Trimming shrinks the phys table (less build bandwidth) and — the real
+    win — the backward's sentinel domain: table-gradient rows drop from
+    L*T to sum(rows_l), ~27%% fewer boundary-gather rows at the KITTI
+    shape (T=2^19, 5 dense levels)."""
+    rows = []
+    for r in resolutions:
+        s = int(r) + 1
+        rows.append(s**3 if s**3 <= table_size else table_size)
+    return rows
+
+
 def build_oct_table(table, resolutions, table_size: int):
-    """Materialize the [L, T, 8*F] physical table: phys[i][lane o] =
-    canon[i + offset_o] (mod T; dense levels never read wrapped rows).
+    """Materialize the trimmed [sum(rows_l), 8*F] physical table:
+    row (level_offset + i), lane o = canon[level][(i + offset_o) mod T]
+    (dense levels never *gather* wrapped rows — bases stop at s^3-1-o).
     Eight rolls = one bandwidth pass per step, negligible next to the
     gathers it saves."""
     levels = []
+    level_rows = _oct_level_rows(resolutions, table_size)
     for level in range(table.shape[0]):
         offs = _oct_offsets(int(resolutions[level]), table_size)
         t = table[level]
-        levels.append(
-            jnp.concatenate(
-                [t if o == 0 else jnp.roll(t, -o, axis=0) for o in offs],
-                axis=-1,
-            )
+        packed = jnp.concatenate(
+            [t if o == 0 else jnp.roll(t, -o, axis=0) for o in offs],
+            axis=-1,
         )
-    return jnp.stack(levels)
+        levels.append(packed[: level_rows[level]])
+    return jnp.concatenate(levels, axis=0)
 
 
 def _oct_indices_weights(x, resolutions, table_size: int):
-    """Oct-layout gather plan: (idx [..., L] rows into the flattened [L*T]
-    phys table, w [..., L, 8] corner-bit-ordered trilinear weights)."""
+    """Oct-layout gather plan: (idx [..., L] rows into the trimmed
+    [sum(rows_l)] phys table, w [..., L, 8] corner-bit-ordered trilinear
+    weights)."""
     n_levels = len(resolutions)
     x = jnp.clip(x, 0.0, 1.0)
+    level_rows = _oct_level_rows(resolutions, table_size)
     idx_levels, w_levels = [], []
+    offset = 0
     for level in range(n_levels):
         res = int(resolutions[level])
         pos = x * res
         cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
         frac = pos - cell
         base, _ = _quad_base_index(cell, res, table_size)
-        idx_levels.append(base + level * table_size)
+        idx_levels.append(base + offset)
+        offset += level_rows[level]
         w_levels.append(
             jnp.prod(
                 jnp.where(
@@ -409,7 +430,7 @@ def encode_oct(x, table, resolutions, table_size: int, phys=None):
     idx, w_all = _oct_indices_weights(x, resolutions, table_size)
     if phys is None:
         phys = build_oct_table(table, resolutions, table_size)
-    rows = jnp.take(phys.reshape(-1, 8 * n_feats), idx, axis=0)
+    rows = jnp.take(phys, idx, axis=0)
     feats = rows.reshape(rows.shape[:-1] + (8, n_feats))
     out = jnp.sum(w_all[..., None] * feats, axis=-2)  # [..., L, F]
     return out.reshape(out.shape[:-2] + (n_levels * n_feats,))
@@ -442,7 +463,27 @@ def _trilinear_dx(x, resolutions, s):
 def _oct_grad_encode(resolutions_key: tuple, table_size: int):
     """encode_oct() under a custom VJP: packed-space sorted-segment table
     gradient (8x fewer reduction entries than corner space) folded back to
-    the canonical table by eight rolls; analytic trilinear x gradient."""
+    the canonical table by eight rolls; analytic trilinear x gradient.
+
+    The backward is structured around the measured TPU gather roofline
+    (~30 ns per gathered row, row-width independent — the r3 stage probe;
+    sorts and cumsums are comparatively free). Gathered rows are the budget:
+
+      1. sort the m data entries alone (2-operand int32 sort) and gather
+         the [m, 8F] gradient values ONCE into segment order, then cumsum;
+      2. find every table row's segment boundary with INT-ONLY sentinel
+         sorts: in the merged (2*idx) ++ (2*row+1) order, sentinel r sits
+         at position p_r, so b_r = p_r - r = #(idx <= r) — no value lanes
+         ride these sorts;
+      3. ONE boundary gather of the prefix sums at b_r - 1; a row-shifted
+         difference yields every row's segment sum (b is monotone in r, so
+         the previous row's boundary value is just the gather shifted by
+         one row — no second gather).
+
+    Total gathered rows: m + sum(rows_l), vs 2m + (m + L*T) for the
+    sentinel-interleaved variant (`_sorted_row_sums_gather`) — measured
+    1.7x faster end-to-end at the 8192x64 KITTI shape.
+    """
     resolutions = np.asarray(resolutions_key, np.int32)
     n_levels = len(resolutions_key)
 
@@ -454,7 +495,7 @@ def _oct_grad_encode(resolutions_key: tuple, table_size: int):
         n_feats = table.shape[-1]
         idx, w_all = _oct_indices_weights(x, resolutions, table_size)
         phys = build_oct_table(table, resolutions, table_size)
-        rows = jnp.take(phys.reshape(-1, 8 * n_feats), idx, axis=0)
+        rows = jnp.take(phys, idx, axis=0)
         feats = rows.reshape(rows.shape[:-1] + (8, n_feats))
         out = jnp.sum(w_all[..., None] * feats, axis=-2)
         out = out.reshape(out.shape[:-2] + (n_levels * n_feats,))
@@ -467,24 +508,61 @@ def _oct_grad_encode(resolutions_key: tuple, table_size: int):
     def bwd(res, g):
         x, idx, w_all, rows, table_shape = res
         n_feats = table_shape[-1]
+        lanes = 8 * n_feats
         feats = rows.reshape(rows.shape[:-1] + (8, n_feats))
         g_lf = g.reshape(g.shape[:-1] + (n_levels, n_feats))
+        level_rows = _oct_level_rows(resolutions_key, table_size)
+        n_rows = int(np.sum(level_rows))
 
-        # d(gathered phys rows) [..., L, 8, F], reduced in packed space.
-        vals = w_all[..., None] * g_lf[..., None, :]
-        pg = _sorted_row_sums_gather(
-            idx.reshape(-1),
-            vals.reshape(-1, 8 * n_feats),
-            n_levels * table_size,
-        ).reshape(n_levels, table_size, 8, n_feats)
+        # d(gathered phys rows) [m, 8F], reduced in packed space.
+        vals = (w_all[..., None] * g_lf[..., None, :]).reshape(-1, lanes)
+        idx_flat = idx.reshape(-1).astype(jnp.int32)
+        m = idx_flat.shape[0]
+
+        # (1) data-only segment order: one m-row value gather + cumsum.
+        _, sd = jax.lax.sort(
+            (idx_flat, jnp.arange(m, dtype=jnp.int32)), num_keys=1
+        )
+        csum = jnp.cumsum(jnp.take(vals, sd, axis=0), axis=0)
+
+        # (2) int-only sentinel sorts give each row's boundary b_r.
+        total = m + n_rows
+        keys = jnp.concatenate(
+            [idx_flat * 2, jnp.arange(n_rows, dtype=jnp.int32) * 2 + 1]
+        )
+        (sk,) = jax.lax.sort((keys,), num_keys=1)
+        _, order = jax.lax.sort(
+            (sk & 1 ^ 1, jnp.arange(total, dtype=jnp.int32)),
+            num_keys=1,
+            is_stable=True,
+        )
+        b = order[:n_rows] - jnp.arange(n_rows, dtype=jnp.int32)
+
+        # (3) one boundary gather + shifted difference.
+        ge = jnp.take(csum, jnp.maximum(b - 1, 0), axis=0)
+        ge = jnp.where((b > 0)[:, None], ge, 0.0)
+        seg = ge - jnp.concatenate(
+            [jnp.zeros((1, lanes), ge.dtype), ge[:-1]], axis=0
+        )
+
         # canon[j] appears in phys[j - offset_o][lane o]: fold with rolls.
+        # Dense levels pad their trimmed rows back to T first; the wrapped
+        # roll rows land on zero padding because base_max + T >= s^3 + T
+        # > T + offset_o for every lane (dense condition T >= s^3).
         canon_levels = []
+        off = 0
         for level in range(n_levels):
+            rows_l = level_rows[level]
             offs = _oct_offsets(int(resolutions_key[level]), table_size)
-            p = pg[level]
-            acc = p[:, 0]
+            p = jax.lax.slice_in_dim(seg, off, off + rows_l, axis=0)
+            off += rows_l
+            if rows_l < table_size:
+                p = jnp.pad(p, ((0, table_size - rows_l), (0, 0)))
+            acc = p[:, 0:n_feats]
             for lane, o in enumerate(offs[1:], start=1):
-                acc = acc + jnp.roll(p[:, lane], o, axis=0)
+                acc = acc + jnp.roll(
+                    p[:, lane * n_feats:(lane + 1) * n_feats], o, axis=0
+                )
             canon_levels.append(acc)
         dtable = jnp.stack(canon_levels)
 
