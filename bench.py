@@ -79,7 +79,12 @@ def _flops_of(jitted, args):
 
 def _summarize(rays_per_dispatch, n_meas, dt, n_chips, flops_per_dispatch,
                steps_per_dispatch=1):
-    tflops = flops_per_dispatch * n_meas / dt / 1e12 / n_chips
+    # XLA cost analysis counts a lax.scan/while BODY once, not x trip
+    # count: a K-step fused dispatch reports 1-step flops. Scale by
+    # steps_per_dispatch (the r2 "nerfpp 7.6% MFU" was this 8x undercount
+    # — the r3 K-sweep probe shows mfu*K invariant at ~59%).
+    tflops = (flops_per_dispatch * steps_per_dispatch * n_meas
+              / dt / 1e12 / n_chips)
     return {
         "rays_per_sec_per_chip": round(rays_per_dispatch * n_meas / dt / n_chips, 1),
         "steps_per_sec": round(steps_per_dispatch * n_meas / dt, 2),

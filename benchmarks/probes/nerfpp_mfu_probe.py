@@ -94,7 +94,10 @@ def measure(batch: int, k: int, n_meas: int = 6):
         state, stats = multi_step(state, stacked, rngs_for(100 + d), fracs)
     jax.block_until_ready(stats["loss"])
     dt = time.perf_counter() - t0
-    tflops = flops * n_meas / dt / 1e12 / n_chips
+    # XLA cost analysis counts the K-step lax.scan body ONCE: scale by k.
+    # (The raw numbers made this unmistakable: mfu*k was invariant at ~59
+    # across k in {8, 32, 128}.)
+    tflops = flops * k * n_meas / dt / 1e12 / n_chips
     return {
         "batch": batch,
         "k": k,

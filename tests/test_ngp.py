@@ -251,6 +251,42 @@ class TestHashGrid:
             np.asarray(gx_s), np.asarray(gx_p), rtol=1e-4, atol=1e-5
         )
 
+    def test_oct_trimmed_dense_boundary_level(self):
+        """Dense level with (res+1)^3 barely <= T (res=9, s^3=1000 vs
+        T=1024): the trimmed phys table's roll-fold must stay exact even
+        though s^3 + corner offsets exceeds T (the wrapped roll rows must
+        land on never-gathered / zero rows)."""
+        rng = jax.random.PRNGKey(33)
+        t_size = 2**10
+        res = np.array([4, 9, 31], np.int32)  # dense, boundary-dense, hashed
+        x = jax.random.uniform(rng, (301, 3), minval=0.001, maxval=0.999)
+        table = jax.random.normal(jax.random.fold_in(rng, 1), (3, t_size, 2))
+
+        np.testing.assert_allclose(
+            np.asarray(hashgrid.encode_oct(x, table, res, t_size)),
+            np.asarray(hashgrid.encode_quad(x, table, res, t_size)),
+            atol=1e-6,
+        )
+
+        fn = hashgrid._oct_grad_encode(tuple(int(r) for r in res), t_size)
+
+        def loss_vjp(x, t):
+            return jnp.sum(jnp.sin(3.0 * fn(x, t)))
+
+        def loss_ad(x, t):
+            return jnp.sum(
+                jnp.sin(3.0 * hashgrid.encode_oct(x, t, res, t_size))
+            )
+
+        gx_s, gt_s = jax.grad(loss_vjp, argnums=(0, 1))(x, table)
+        gx_p, gt_p = jax.grad(loss_ad, argnums=(0, 1))(x, table)
+        np.testing.assert_allclose(
+            np.asarray(gt_s), np.asarray(gt_p), rtol=1e-2, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gx_s), np.asarray(gx_p), rtol=1e-4, atol=1e-5
+        )
+
     def test_sorted_row_sums_gather_variant(self):
         rng = np.random.default_rng(13)
         idx = jnp.asarray(rng.integers(0, 50, (4096,)), jnp.int32)
