@@ -85,7 +85,11 @@ GATES = {
         ),
     ),
     "ngp": dict(
-        steps=1500,
+        # 600 steps: the r3 1500-step gate converged long before its budget
+        # (train PSNR 48 dB by step 750; final test 32.2 dB vs the 26 dB
+        # threshold) — the longer budget bought margin, not signal, at
+        # 2.5x the wall time (998 s -> ~400 s on the chip).
+        steps=600,
         batch=4096,
         thresholds=dict(psnr=26.0, rmse=0.10),
         config=dict(
