@@ -16,9 +16,11 @@ budgets"):
 
 Each workload reports rays/s/chip, steps/s, sustained TFLOP/s (XLA
 cost-analysis flops / wall time) and MFU vs the 115 TFLOP/s bf16 roofline
-measured on this chip (STATUS r1). Prints exactly ONE JSON line; the
-primary value is rays/s/chip on nerfpp_1024, falling back to the best
-surviving workload when nerfpp itself errors.
+measured on this chip (STATUS r1). The cumulative headline JSON line is
+printed after EVERY completed workload (the last line on stdout is always
+the most complete one, even if the run is killed mid-way); the primary
+value is rays/s/chip on nerfpp_1024, falling back to the best surviving
+workload when nerfpp itself errors.
 
 Harness design (VERDICT r2 #1 — the r2 artifact was 0.0 because one cold
 tunnel compile ate the whole alarm and two transient remote-compile HTTP
@@ -54,16 +56,30 @@ REF_RAYS_PER_SEC_GPU = 3500.0  # documented estimate; see module docstring
 
 # Measure-pass timeout: compiles are warm (persistent cache) by the time it
 # runs, so a short alarm is enough.
-MEASURE_TIMEOUT_S = int(os.environ.get("ONDT_BENCH_WORKLOAD_TIMEOUT", 420))
+MEASURE_TIMEOUT_S = int(os.environ.get("ONDT_BENCH_WORKLOAD_TIMEOUT", 360))
 # Warm-pass timeout: covers a cold tunnel compile (45 s - 10+ min observed).
-WARM_TIMEOUT_S = int(os.environ.get("ONDT_BENCH_WARM_TIMEOUT", 900))
-RETRIES = int(os.environ.get("ONDT_BENCH_RETRIES", 2))
-TOTAL_BUDGET_S = int(os.environ.get("ONDT_BENCH_TOTAL_BUDGET", 3300))
+WARM_TIMEOUT_S = int(os.environ.get("ONDT_BENCH_WARM_TIMEOUT", 600))
+RETRIES = int(os.environ.get("ONDT_BENCH_RETRIES", 1))
+# Total budget sized to the driver window the r1 capture demonstrably fit
+# (~15-20 min), NOT the r3 value of 3300 s (which the driver killed at
+# rc=124 before a single JSON line printed — VERDICT r3 #1). The headline
+# JSON is now ALSO printed cumulatively after every completed workload, so
+# even a kill mid-run leaves the latest parseable line.
+TOTAL_BUDGET_S = int(os.environ.get("ONDT_BENCH_TOTAL_BUDGET", 1020))
 RETRY_BACKOFF_S = 15
 
 # Ordered fallback for the headline metric (nerfpp first: continuity with
 # BENCH_r01/r02).
 HEADLINE_ORDER = ("nerfpp_1024", "mip_4096", "ngp_8192", "ngp_eval")
+
+
+def _check_no_accum(config):
+    # cost_analysis counts the grad-accumulation inner lax.scan body once,
+    # so an accumulating config would silently undercount MFU by n_accum
+    # (same class of bug as the r2 K-step undercount). Keep bench configs
+    # accumulation-free rather than guessing a correction.
+    if max(1, config.grad_accum_steps) != 1:
+        raise ValueError("bench configs must not enable grad accumulation")
 
 
 def _flops_of(jitted, args):
@@ -119,6 +135,7 @@ def bench_nerfpp(measure=True):
         data_coarse_loss_mult=1.0,
         lr_delay_steps=0,
     )
+    _check_no_accum(config)
     dataset = datasets_lib.SyntheticDataset(
         "train", global_batch_size=batch, n_images=8, height=94, width=310,
         seed=0,
@@ -179,6 +196,7 @@ def bench_mip(measure=True):
         depth_loss_type="kl",
         lr_delay_steps=0,
     )
+    _check_no_accum(config)
     dataset = datasets_lib.SyntheticDataset(
         "train", global_batch_size=batch, n_images=8, height=94, width=310,
         seed=0,
@@ -240,6 +258,7 @@ def _ngp_setup(batch, max_samples=64):
         opacity_loss_mult=1e-3,
         lr_delay_steps=0,
     )
+    _check_no_accum(config)
     dataset = datasets_lib.SyntheticDataset(
         "train", global_batch_size=batch, n_images=8, height=94, width=310,
         seed=0,
@@ -550,19 +569,8 @@ def _run_workload(name: str, deadline: float):
     return {"error": meas.get("error", "unknown"), "warmed": True}
 
 
-def main():
-    import jax
-
-    wanted = os.environ.get(
-        "ONDT_BENCH_WORKLOADS", "nerfpp,mip,ngp,ngp_eval"
-    ).split(",")
-    deadline = time.monotonic() + TOTAL_BUDGET_S
-    results = {}
-    for name, (key, _) in BENCHES.items():
-        if key not in wanted:
-            continue
-        results[name] = _run_workload(name, deadline)
-
+def _headline_json(results, n_chips):
+    """Cumulative headline line from whatever has been measured so far."""
     headline_workload, value = None, 0.0
     for name in HEADLINE_ORDER:
         r = results.get(name, {})
@@ -570,20 +578,43 @@ def main():
         if v > 0:
             headline_workload, value = name, v
             break
-    print(
-        json.dumps(
-            {
-                "metric": "rays_per_sec_per_chip",
-                "value": value,
-                "unit": "rays/s/chip",
-                "vs_baseline": round(value / REF_RAYS_PER_SEC_GPU, 3),
-                "headline_workload": headline_workload,
-                "roofline_tflops": ROOFLINE_TFLOPS,
-                "n_chips": jax.device_count(),
-                "workloads": results,
-            }
-        )
+    return json.dumps(
+        {
+            "metric": "rays_per_sec_per_chip",
+            "value": value,
+            "unit": "rays/s/chip",
+            # The reference publishes no speed numbers; this divides by a
+            # documented ~3.5k rays/s/GPU NeRF++ estimate, NOT a measured
+            # baseline (VERDICT r3 #8).
+            "vs_baseline": round(value / REF_RAYS_PER_SEC_GPU, 3),
+            "baseline_kind": "estimate",
+            "headline_workload": headline_workload,
+            "roofline_tflops": ROOFLINE_TFLOPS,
+            "n_chips": n_chips,
+            "workloads": results,
+        }
     )
+
+
+def main():
+    import jax
+
+    wanted = os.environ.get(
+        "ONDT_BENCH_WORKLOADS", "nerfpp,mip,ngp,ngp_eval"
+    ).split(",")
+    n_chips = jax.device_count()
+    deadline = time.monotonic() + TOTAL_BUDGET_S
+    results = {}
+    last_line = _headline_json(results, n_chips)
+    # The headline JSON is (re)printed cumulatively after EVERY completed
+    # workload: if the driver kills the bench mid-run, the last parseable
+    # line still carries everything measured so far (VERDICT r3 #1a).
+    for name, (key, _) in BENCHES.items():
+        if key not in wanted:
+            continue
+        results[name] = _run_workload(name, deadline)
+        last_line = _headline_json(results, n_chips)
+        print(last_line, flush=True)
 
 
 if __name__ == "__main__":

@@ -48,19 +48,22 @@ L, F, LOG2T = 16, 2, int(os.environ.get("ONDT_PROBE_LOG2T", 19))
 T = 2**LOG2T
 
 
+def _force(out):
+    # The axon tunnel DEFERS unfetched outputs (CLAUDE.md): block_until_ready
+    # alone measures ~dispatch only. Fetch one scalar from EVERY tree leaf —
+    # a stage returning independent outputs (e.g. a VJP's (dx, dtable)) can
+    # otherwise leave the unfetched branch deferred and undercount.
+    for leaf in jax.tree_util.tree_leaves(out):
+        _ = float(jnp.sum(leaf.ravel()[:1]))
+
+
 def timeit(fn, *args, n=8):
     out = fn(*args)
     jax.block_until_ready(out)
-    # The axon tunnel DEFERS unfetched outputs (CLAUDE.md): block_until_ready
-    # alone measures ~dispatch only. Fetch one scalar per iteration to force
-    # the computation; the [1,1]-slice transfer itself is negligible.
-    leaves = jax.tree_util.tree_leaves(out)
-    _ = float(jnp.sum(leaves[0].ravel()[:1]))
+    _force(out)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args)
-        leaves = jax.tree_util.tree_leaves(out)
-        _ = float(jnp.sum(leaves[0].ravel()[:1]))
+        _force(fn(*args))
     return (time.perf_counter() - t0) / n
 
 

@@ -18,22 +18,25 @@ L=16 levels, F=2 features/level, T=2^19 table, N_min=16, growth b from
 The table lives in an ordinary flax param — shardable over a mesh axis if
 the table ever outgrows HBM.
 
-TPU gather-granularity redesign ("quad" layout, the default): the measured
-v5e gather cost is ~6.4 ns per ROW regardless of row width, so the per-step
-cost is set by gather COUNT, not bytes. The classic layout needs 8 corner
-gathers per (sample, level). The quad layout makes the hash *linear in y
-and z* — ``h(x,y,z) = (x*P1 + y*P2 + z) mod T`` — so a cell's four (y,z)
-corners sit at row offsets {0, 1, Sy, Sy+1} (Sy = P2 mod T; dense levels
-use their natural stride res+1). A physical table ``phys[i] =
-canon[i] ++ canon[i+1] ++ canon[i+Sy] ++ canon[i+Sy+1]`` (built by rolls,
-one cheap bandwidth pass) then serves the whole (y,z) corner quad in ONE
-row, leaving 2 gathers per (sample, level) — the two x corners — a 4x
-cut in gather rows. The backward reduces (index, 4F-value) pairs in packed
-space (4x fewer entries than corner space) and folds the packed gradient
-back onto the canonical table with four rolls. Hash-quality note: linearity
-in y/z changes the collision *pattern* (a lattice instead of XOR mixing)
-but not the collision *rate*; tcnn itself uses stride-1 (linear) indexing
-in x, and the on-TPU quality gate shows parity.
+TPU gather-granularity redesign ("oct" layout, the default): random-access
+gather on the v5e is PER-ROW bound — ~28-34 ns per gathered row at 8-64 B
+rows, roughly row-width independent (r3 measurement with forced fetches;
+an earlier "6.4 ns/row" reading was a tunnel deferred-execution artifact).
+So the per-step cost is set by gathered-ROW COUNT, not bytes, and the
+design goal is fewest rows per (sample, level). The classic layout needs 8
+corner gathers. The "oct" layout makes the hash *fully linear* —
+``h(x,y,z) = (x*P1 + y*P2 + z) mod T`` — so ALL EIGHT cell corners sit at
+static row offsets {cx*Sx + cy*Sy + cz}; packing them into one 8F-lane
+physical row (built by rolls, one cheap bandwidth pass per step) serves
+the whole corner cube in ONE gather per (sample, level). The intermediate
+"quad" layout (linear in y/z only, 2 gathers) is kept because it shares
+the same hash — trained tables are interchangeable. The backward reduces
+(index, value) pairs in packed space (8x fewer entries than corner space)
+and folds the packed gradient back onto the canonical table with rolls.
+Hash-quality note: full linearity changes the collision *pattern* (a
+lattice instead of XOR mixing) but not the collision *rate*; tcnn itself
+uses stride-1 (linear) indexing in x, and the on-TPU quality gate shows
+parity.
 """
 
 from __future__ import annotations
@@ -337,9 +340,10 @@ def _oct_offsets(resolution: int, table_size: int):
     {cx*Sx + cy*Sy + cz} (corner-bit order, lane = 4*cx + 2*cy + cz). Dense
     levels use their natural strides (Sx = s^2, Sy = s). Packing all eight
     corners into one 8F-lane physical row makes the forward ONE gather per
-    (sample, level) — gather cost on this chip is per-row and row-width
-    independent (measured r2: ~6.4 ns/row at 2/16/128 lanes alike), so this
-    halves the gather bill vs quad and is 8x below the corner layout.
+    (sample, level) — gather cost on this chip is per-row bound and roughly
+    row-width independent (measured r3, forced fetches: ~28-34 ns/row at
+    8-64 B rows), so this halves the gather bill vs quad and is 8x below
+    the corner layout.
     """
     if (resolution + 1) ** 3 <= table_size:
         s = resolution + 1

@@ -99,7 +99,13 @@ class TestHeadlineFallback:
             l for l in capsys.readouterr().out.strip().splitlines()
             if l.startswith("{")
         ]
-        assert len(lines) == 1  # exactly ONE JSON line
+        # One cumulative headline line per completed workload (VERDICT r3
+        # #1a): a driver kill at any point leaves the latest parseable line.
+        assert len(lines) == 4
+        for i, l in enumerate(lines):
+            partial = json.loads(l)
+            assert len(partial["workloads"]) == i + 1
+            assert partial["baseline_kind"] == "estimate"
         return json.loads(lines[-1])
 
     def test_primary_headline(self, bench, monkeypatch, capsys):
