@@ -47,3 +47,21 @@ class TestOrbitCamera:
         # Pan is orthogonal to the viewing axis.
         np.testing.assert_allclose(np.dot(delta, view), 0.0, atol=1e-9)
         assert np.linalg.norm(delta) > 0
+
+
+def test_frusta_viewer_cli(tmp_path):
+    """`viewer.py --frusta x.json --frusta-out y.png` renders the export
+    (the consumer for data.preprocess.export_camera_frusta_json)."""
+    import json
+
+    import viewer
+
+    corners = [[0, 0, 0], [-1, -1, 2], [1, -1, 2], [1, 1, 2], [-1, 1, 2]]
+    frusta = {"frusta": [{"name": f"im{i}.png",
+                          "corners": [[c[0] + i, c[1], c[2]] for c in corners]}
+                         for i in range(3)]}
+    src = tmp_path / "frusta.json"
+    out = tmp_path / "frusta.png"
+    src.write_text(json.dumps(frusta))
+    viewer.main(["--frusta", str(src), "--frusta-out", str(out)])
+    assert out.exists() and out.stat().st_size > 1000

@@ -93,6 +93,38 @@ def _render(config, dataset, render_chunk, params, mesh, cam, height, width,
     return vis_lib.side_by_side(rgb, vis_lib.visualize_depth(depth))
 
 
+def show_frusta(frusta_json: str, out_png=None):
+    """Camera-pose inspector: render exported frusta (data.preprocess.
+    export_camera_frusta_json) interactively, or to a PNG with `out_png`.
+
+    The consumer for the frusta export — the matplotlib stand-in for the
+    reference's open3d `camera_visualizer/visualize_cameras.py` (open3d is
+    absent from this image).
+    """
+    from outdoor_nerf_depth_tpu.utils import vis as vis_lib
+
+    if out_png is not None:
+        vis_lib.plot_camera_frusta(frusta_json, out_png)
+        print(f"wrote {out_png}")
+        return
+    import json as json_lib
+
+    import matplotlib.pyplot as plt
+
+    with open(frusta_json) as f:
+        data = json_lib.load(f)
+    fig = plt.figure(figsize=(8, 8))
+    ax = fig.add_subplot(projection="3d")
+    for fr in data["frusta"]:
+        c = np.asarray(fr["corners"])
+        for i in range(1, 5):
+            j = 1 + (i % 4)
+            ax.plot(*np.stack([c[0], c[i]]).T, "b-", lw=0.5)
+            ax.plot(*np.stack([c[i], c[j]]).T, "r-", lw=0.5)
+    ax.set_box_aspect((1, 1, 1))
+    plt.show()
+
+
 def main(argv):
     from outdoor_nerf_depth_tpu import parallel
     from outdoor_nerf_depth_tpu.train import step as step_lib
@@ -100,16 +132,24 @@ def main(argv):
     from outdoor_nerf_depth_tpu.train.loop import build_dataset
 
     cfg_path, overrides, height, width = None, [], 200, 300
+    frusta_json, frusta_png = None, None
     it = iter(argv)
     for a in it:
         if a == "--config":
             cfg_path = next(it)
+        elif a == "--frusta":
+            frusta_json = next(it)
+        elif a == "--frusta-out":
+            frusta_png = next(it)
         elif a.startswith("height="):
             height = int(a.split("=")[1])
         elif a.startswith("width="):
             width = int(a.split("=")[1])
         else:
             overrides.append(a)
+    if frusta_json is not None:
+        show_frusta(frusta_json, frusta_png)
+        return
     config = load_config(cfg_path, overrides)
 
     dataset = build_dataset(config, "train")
