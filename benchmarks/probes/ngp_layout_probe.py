@@ -55,6 +55,9 @@ def bench_layout(layout: str, n_iters: int = 8):
     elif layout == "oct":
         fwd_fn = lambda x, t: hashgrid.encode_oct(x, t, res, t_size)
         vjp_fn = hashgrid._oct_grad_encode(res_key, t_size)
+    elif layout == "osplit":
+        fwd_fn = lambda x, t: hashgrid.encode_oct_split(x, t, res, t_size)
+        vjp_fn = hashgrid._oct_split_grad_encode(res_key, t_size)
     else:
         raise ValueError(layout)
 

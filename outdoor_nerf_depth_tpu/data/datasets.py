@@ -353,7 +353,25 @@ class SphereSceneDataset(RayDataset):
         height: int = 64,
         width: int = 96,
         cast_on_device: bool = True,
+        sample_every: int = 1,
+        depth_sup_type: str = "gt",
     ):
+        """`sample_every` subsamples TRAIN views (sparse-view protocol);
+        `depth_sup_type` selects the depth-prior emulation:
+
+          * gt          — exact analytic depth (the paper's LiDAR-gt row)
+          * stereo_like — disparity-domain Gaussian noise (sigma_z ~ z^2)
+            plus 15% holes, the error profile of SGM/CFNet stereo priors
+          * mono_like   — per-image affine miscalibration plus a smooth
+            low-frequency multiplicative field, the error profile of
+            scale-ambiguous monocular priors (LeReS-like)
+          * rgbonly     — no depth supervision (all pixels invalid)
+
+        These emulations back the Table-6-style ablation sweep
+        (reference `docs` Table 6 / BASELINE.md) on a scene with exact
+        ground truth, so the *ordering* of prior qualities is measurable
+        without KITTI on disk.
+        """
         super().__init__(split, global_batch_size, cast_on_device)
         # -- scene definition (fully deterministic)
         self._centers = np.array(
@@ -370,7 +388,7 @@ class SphereSceneDataset(RayDataset):
         self._light = np.array([0.45, -0.3, 0.84], np.float32)
         self._light /= np.linalg.norm(self._light)
 
-        idx = split_indices(n_images, split)
+        idx = split_indices(n_images, split, sample_every)
         poses = []
         for i in range(n_images):
             ang = 2 * np.pi * i / n_images
@@ -394,8 +412,42 @@ class SphereSceneDataset(RayDataset):
             depths.append(depth)
         self.images = np.stack(images)
         self.depth_gt = np.stack(depths)
-        self.depth_sup = self.depth_gt.copy()
+        self.depth_sup = self._make_depth_prior(depth_sup_type)
         self._finalize()
+
+    def _make_depth_prior(self, depth_sup_type: str) -> np.ndarray:
+        d = self.depth_gt
+        valid = d > 0
+        if depth_sup_type == "gt":
+            return d.copy()
+        if depth_sup_type == "rgbonly":
+            return np.zeros_like(d)
+        rng = np.random.RandomState(7)  # deterministic priors
+        if depth_sup_type == "stereo_like":
+            # Constant disparity noise => sigma_z = sigma_disp * z^2, plus
+            # matching-failure holes.
+            sigma_disp = 0.02
+            noisy = d + rng.normal(0.0, 1.0, d.shape).astype(np.float32) * (
+                sigma_disp * d**2
+            )
+            holes = rng.uniform(size=d.shape) < 0.15
+            return np.where(valid & ~holes, np.maximum(noisy, 0.0), 0.0).astype(
+                np.float32
+            )
+        if depth_sup_type == "mono_like":
+            sup = np.zeros_like(d)
+            h, w = d.shape[1:3]
+            gy = np.linspace(0.0, np.pi, h, dtype=np.float32)[:, None]
+            gx = np.linspace(0.0, np.pi, w, dtype=np.float32)[None, :]
+            for i in range(d.shape[0]):
+                a = 1.0 + rng.uniform(-0.15, 0.15)
+                b = rng.uniform(-0.03, 0.03)
+                field = 1.0 + 0.08 * np.sin(
+                    gy * rng.randint(1, 3) + rng.uniform(0, 3)
+                ) * np.sin(gx * rng.randint(1, 3) + rng.uniform(0, 3))
+                sup[i] = (a * d[i] + b) * field
+            return np.where(valid, np.maximum(sup, 0.0), 0.0).astype(np.float32)
+        raise ValueError(f"unknown spheres depth_sup_type {depth_sup_type!r}")
 
     def _trace(self, c2w, height, width):
         return trace_sphere_scene(

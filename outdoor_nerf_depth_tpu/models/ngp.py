@@ -45,7 +45,7 @@ class HashGridField(nn.Module):
     # "oct" (default) = TPU gather-packed table layout (1 gather per
     # sample-level); "quad" = same hash, 2 gathers; "corner" = the classic
     # per-corner XOR hash. See `ops/hashgrid.py` module docstring.
-    hash_layout: str = "oct"
+    hash_layout: str = "osplit"
     # Table-gradient path ("auto" = scatter-free sorted-segment on TPU,
     # plain AD scatter elsewhere; see HashGridEncoding.grad_mode).
     grad_mode: str = "auto"
@@ -169,7 +169,7 @@ class HashGridModel(nn.Module):
     # field_params["hash_layout"] wins. Checkpoints record the effective
     # hash FUNCTION and refuse to restore across incompatible hashes
     # (oct and quad share the linear hash; corner does not).
-    hash_layout: str = "oct"
+    hash_layout: str = "osplit"
     field_params: Any = None
     compute_dtype: Any = jnp.float32
 

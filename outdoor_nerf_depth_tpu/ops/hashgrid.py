@@ -440,6 +440,186 @@ def encode_oct(x, table, resolutions, table_size: int, phys=None):
     return out.reshape(out.shape[:-2] + (n_levels * n_feats,))
 
 
+def build_oct_tables_split(table, resolutions, table_size: int,
+                           dtype=jnp.bfloat16):
+    """Per-level trimmed oct physical tables (tuple of [rows_l, 8F]).
+
+    The r4 gather probe (`benchmarks/probes/gather_attack_probe.py`) showed
+    TPU gather cost is a function of the SOURCE array's size, not only of
+    gathered-row count: ~7 ns/row from <=2 MB sources (VMEM-resident),
+    ~16 ns/row at 16 MB, ~21 ns/row at 128 MB. One concatenated
+    [sum(rows_l), 8F] f32 table (~380 MB) pins every level at the slow end;
+    splitting per level puts the dense coarse levels (kB..MB) on the fast
+    path and halving bytes with bf16 keeps the hashed levels at the 16 MB
+    point. bf16 storage matches tcnn's fp16 table precision (the reference
+    backend trains in half); the canonical param table stays f32.
+    """
+    level_rows = _oct_level_rows(resolutions, table_size)
+    out = []
+    for level in range(table.shape[0]):
+        offs = _oct_offsets(int(resolutions[level]), table_size)
+        t = table[level]
+        packed = jnp.concatenate(
+            [t if o == 0 else jnp.roll(t, -o, axis=0) for o in offs],
+            axis=-1,
+        )
+        out.append(packed[: level_rows[level]].astype(dtype))
+    return tuple(out)
+
+
+def _oct_local_indices_weights(x, resolutions, table_size: int):
+    """Per-level-LOCAL gather plan for the split-table layout.
+
+    Returns (idx_levels: list of [...] int32 rows into each level's own
+    trimmed table, w_all [..., L, 8] corner-bit-ordered trilinear weights).
+    Same hash as `_oct_indices_weights`, minus the level offsets.
+    """
+    n_levels = len(resolutions)
+    x = jnp.clip(x, 0.0, 1.0)
+    idx_levels, w_levels = [], []
+    for level in range(n_levels):
+        res = int(resolutions[level])
+        pos = x * res
+        cell = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
+        frac = pos - cell
+        base, _ = _quad_base_index(cell, res, table_size)
+        idx_levels.append(base)
+        w_levels.append(
+            jnp.prod(
+                jnp.where(
+                    _CORNERS[:, :] == 1,
+                    frac[..., None, :],
+                    1.0 - frac[..., None, :],
+                ),
+                axis=-1,
+            )
+        )
+    return idx_levels, jnp.stack(w_levels, axis=-2)
+
+
+def encode_oct_split(x, table, resolutions, table_size: int, phys=None):
+    """Hash-encode via per-level bf16 oct tables (see build_oct_tables_split).
+
+    Output identical to `encode_oct` up to the bf16 rounding of the table
+    copy (the trilinear blend still runs in f32). `phys` as in `encode_oct`
+    but a tuple of per-level tables.
+    """
+    n_levels, _, n_feats = table.shape
+    idx_levels, w_all = _oct_local_indices_weights(x, resolutions, table_size)
+    if phys is None:
+        phys = build_oct_tables_split(table, resolutions, table_size)
+    outs = []
+    for level in range(n_levels):
+        rows = jnp.take(phys[level], idx_levels[level], axis=0).astype(
+            jnp.float32
+        )
+        feats = rows.reshape(rows.shape[:-1] + (8, n_feats))
+        outs.append(jnp.sum(w_all[..., level, :, None] * feats, axis=-2))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _oct_split_row_sums(idx_flat, vals, n_rows: int):
+    """Segment row sums for ONE level (data sort + sentinel boundaries +
+    one boundary gather), exactly `_oct_grad_encode`'s steps 1-3 but over
+    the level-local domain: every sort and gather touches m + rows_l
+    entries instead of the global sum — the arrays the gathers read stay
+    at the fast end of the measured size/cost curve."""
+    m = idx_flat.shape[0]
+    lanes = vals.shape[-1]
+    _, sd = jax.lax.sort(
+        (idx_flat, jnp.arange(m, dtype=jnp.int32)), num_keys=1
+    )
+    csum = jnp.cumsum(jnp.take(vals, sd, axis=0), axis=0)
+
+    total = m + n_rows
+    keys = jnp.concatenate(
+        [idx_flat * 2, jnp.arange(n_rows, dtype=jnp.int32) * 2 + 1]
+    )
+    (sk,) = jax.lax.sort((keys,), num_keys=1)
+    _, order = jax.lax.sort(
+        (sk & 1 ^ 1, jnp.arange(total, dtype=jnp.int32)),
+        num_keys=1,
+        is_stable=True,
+    )
+    b = order[:n_rows] - jnp.arange(n_rows, dtype=jnp.int32)
+
+    ge = jnp.take(csum, jnp.maximum(b - 1, 0), axis=0)
+    ge = jnp.where((b > 0)[:, None], ge, 0.0)
+    return ge - jnp.concatenate(
+        [jnp.zeros((1, lanes), ge.dtype), ge[:-1]], axis=0
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _oct_split_grad_encode(resolutions_key: tuple, table_size: int):
+    """encode_oct_split() under a custom VJP: the oct backward run
+    PER LEVEL so every gather reads a small (often VMEM-resident) source
+    — see `build_oct_tables_split` for the measured size/cost curve."""
+    resolutions = np.asarray(resolutions_key, np.int32)
+    n_levels = len(resolutions_key)
+
+    @jax.custom_vjp
+    def fn(x, table):
+        return encode_oct_split(x, table, resolutions, table_size)
+
+    def fwd(x, table):
+        n_feats = table.shape[-1]
+        idx_levels, w_all = _oct_local_indices_weights(
+            x, resolutions, table_size
+        )
+        phys = build_oct_tables_split(table, resolutions, table_size)
+        outs, rows_levels = [], []
+        for level in range(n_levels):
+            rows = jnp.take(phys[level], idx_levels[level], axis=0)
+            rows_levels.append(rows)  # bf16 residual (halves the traffic)
+            feats = rows.astype(jnp.float32).reshape(
+                rows.shape[:-1] + (8, n_feats)
+            )
+            outs.append(jnp.sum(w_all[..., level, :, None] * feats, axis=-2))
+        out = jnp.concatenate(outs, axis=-1)
+        return out, (x, tuple(idx_levels), w_all, tuple(rows_levels),
+                     table.shape)
+
+    def bwd(res, g):
+        x, idx_levels, w_all, rows_levels, table_shape = res
+        n_feats = table_shape[-1]
+        lanes = 8 * n_feats
+        g_lf = g.reshape(g.shape[:-1] + (n_levels, n_feats))
+        level_rows = _oct_level_rows(resolutions_key, table_size)
+
+        canon_levels = []
+        s_levels = []
+        for level in range(n_levels):
+            g_l = g_lf[..., level, :]
+            w_l = w_all[..., level, :]
+            vals = (w_l[..., None] * g_l[..., None, :]).reshape(-1, lanes)
+            idx_flat = idx_levels[level].reshape(-1).astype(jnp.int32)
+            rows_l = level_rows[level]
+            seg = _oct_split_row_sums(idx_flat, vals, rows_l)
+
+            offs = _oct_offsets(int(resolutions_key[level]), table_size)
+            p = seg
+            if rows_l < table_size:
+                p = jnp.pad(p, ((0, table_size - rows_l), (0, 0)))
+            acc = p[:, 0:n_feats]
+            for lane, o in enumerate(offs[1:], start=1):
+                acc = acc + jnp.roll(
+                    p[:, lane * n_feats:(lane + 1) * n_feats], o, axis=0
+                )
+            canon_levels.append(acc)
+
+            feats = rows_levels[level].astype(jnp.float32).reshape(
+                rows_levels[level].shape[:-1] + (8, n_feats)
+            )
+            s_levels.append(jnp.sum(g_l[..., None, :] * feats, axis=-1))
+        dtable = jnp.stack(canon_levels)
+        s = jnp.stack(s_levels, axis=-2)  # [..., L, 8]
+        return _trilinear_dx(x, resolutions_key, s), dtable
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def _trilinear_dx(x, resolutions, s):
     """dL/dx from per-corner sums `s` [..., L, 8] (corner-bit lane order):
     dw/dx_d = res * sign_d * prod_{d' != d} f_{d'} (shared by the corner and
@@ -782,13 +962,17 @@ class HashGridEncoding(nn.Module):
     # (`_sorted_row_sums`, ~1 s at the same shape). "auto" = sorted on
     # TPU, scatter elsewhere.
     grad_mode: str = "auto"
-    # Table layout. "oct" (default) = fully-linear hash with 8-corner row
-    # packing: ONE gather per (sample, level) and an 8x smaller backward
-    # reduction domain. "quad" = same hash, 4-corner rows (2 gathers).
-    # "corner" = classic XOR-prime hash, 8 gathers. oct and quad hash
-    # identically (tables interchangeable); corner does NOT — checkpoints
-    # record the layout and refuse cross-layout restores.
-    layout: str = "oct"
+    # Table layout. "osplit" (default) = oct packing with PER-LEVEL bf16
+    # physical tables and a per-level backward: gather cost on this chip
+    # scales with source-array size (~7 ns/row <=2 MB vs ~21 ns/row at
+    # hundreds of MB — the r4 gather probe), so small per-level sources
+    # beat one concatenated table. "oct" = same hash/packing, one
+    # concatenated f32 table. "quad" = same hash, 4-corner rows (2
+    # gathers). "corner" = classic XOR-prime hash, 8 gathers. osplit, oct
+    # and quad hash identically (tables interchangeable); corner does NOT
+    # — checkpoints record the hash function and refuse cross-hash
+    # restores.
+    layout: str = "osplit"
     compute_dtype: Any = jnp.float32
 
     @property
@@ -796,12 +980,12 @@ class HashGridEncoding(nn.Module):
         return self.n_levels * self.n_features
 
     def setup(self):
-        if self.layout not in ("oct", "quad", "corner"):
+        if self.layout not in ("osplit", "oct", "quad", "corner"):
             raise ValueError(
                 f"unknown hash-grid layout {self.layout!r}; "
-                "expected 'oct', 'quad' or 'corner'"
+                "expected 'osplit', 'oct', 'quad' or 'corner'"
             )
-        if self.layout in ("oct", "quad") and self.pack_rows > 1:
+        if self.layout in ("osplit", "oct", "quad") and self.pack_rows > 1:
             # The pack_rows path interprets indices under the corner XOR
             # hash; letting a perf knob silently change the hash function
             # would corrupt trained tables (ADVICE r2, medium).
@@ -838,6 +1022,10 @@ class HashGridEncoding(nn.Module):
         Returns None for the corner layout (nothing to pack).
         """
         table_size = 2**self.log2_table_size
+        if self.layout == "osplit":
+            return build_oct_tables_split(
+                self.table, self._resolutions(), table_size
+            )
         if self.layout == "oct":
             return build_oct_table(self.table, self._resolutions(), table_size)
         if self.layout == "quad":
@@ -859,7 +1047,19 @@ class HashGridEncoding(nn.Module):
         use_sorted = self.grad_mode == "sorted" or (
             self.grad_mode == "auto" and jax.default_backend() == "tpu"
         )
-        if self.layout == "oct" and pack == 0:
+        if self.layout == "osplit" and pack == 0:
+            if prepared is not None:
+                out = encode_oct_split(
+                    x, table, resolutions, table_size, prepared
+                )
+            elif use_sorted:
+                fn = _oct_split_grad_encode(
+                    tuple(int(r) for r in resolutions), table_size
+                )
+                out = fn(x, table)
+            else:
+                out = encode_oct_split(x, table, resolutions, table_size)
+        elif self.layout == "oct" and pack == 0:
             if prepared is not None:
                 out = encode_oct(x, table, resolutions, table_size, prepared)
             elif use_sorted:

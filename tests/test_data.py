@@ -589,3 +589,50 @@ class TestSphereSceneDataset:
                 assert np.abs(ca - cb).max() < 0.25, (py, px, ca, cb)
                 checked += 1
         assert checked >= 5
+
+
+class TestSpherePriorEmulation:
+    """Depth-prior emulations on the analytic scene (Table-6 sweep axes)."""
+
+    def test_prior_error_ordering(self):
+        from outdoor_nerf_depth_tpu.data import datasets as ds
+
+        base = ds.SphereSceneDataset("train", 64, n_images=8)
+        stereo = ds.SphereSceneDataset(
+            "train", 64, n_images=8, depth_sup_type="stereo_like"
+        )
+        mono = ds.SphereSceneDataset(
+            "train", 64, n_images=8, depth_sup_type="mono_like"
+        )
+        rgbonly = ds.SphereSceneDataset(
+            "train", 64, n_images=8, depth_sup_type="rgbonly"
+        )
+        gt = base.depth_gt
+        valid = gt > 0
+
+        def rmse(sup):
+            m = valid & (sup > 0)
+            return float(np.sqrt(np.mean((sup[m] - gt[m]) ** 2)))
+
+        assert np.array_equal(base.depth_sup, gt)
+        # Noise magnitudes: gt exact < stereo < mono; rgbonly all-invalid.
+        assert 0.0 < rmse(stereo.depth_sup) < rmse(mono.depth_sup)
+        assert not np.any(rgbonly.depth_sup > 0)
+        # Stereo holes: some valid-gt pixels dropped, most kept.
+        stereo_valid = stereo.depth_sup > 0
+        kept = stereo_valid[valid].mean()
+        assert 0.7 < kept < 0.95
+        # Determinism.
+        stereo2 = ds.SphereSceneDataset(
+            "train", 64, n_images=8, depth_sup_type="stereo_like"
+        )
+        assert np.array_equal(stereo.depth_sup, stereo2.depth_sup)
+
+    def test_sparse_views(self):
+        from outdoor_nerf_depth_tpu.data import datasets as ds
+
+        dense = ds.SphereSceneDataset("train", 64, n_images=16)
+        sparse = ds.SphereSceneDataset("train", 64, n_images=16, sample_every=4)
+        assert len(sparse.images) < len(dense.images)
+        test = ds.SphereSceneDataset("test", 64, n_images=16)
+        assert len(test.images) + len(dense.images) == 16

@@ -251,6 +251,80 @@ class TestHashGrid:
             np.asarray(gx_s), np.asarray(gx_p), rtol=1e-4, atol=1e-5
         )
 
+    def test_osplit_encode_matches_oct(self):
+        """osplit (per-level bf16 tables) packs the SAME linear hash as
+        oct: with bf16-representable table values the outputs must agree
+        exactly across dense and hashed levels."""
+        rng = jax.random.PRNGKey(31)
+        x = jax.random.uniform(rng, (211, 3))
+        table = jax.random.normal(jax.random.fold_in(rng, 1), (4, 2**10, 2))
+        table = table.astype(jnp.bfloat16).astype(jnp.float32)  # bf16 grid
+        res = hashgrid.level_resolutions(4, 4, 64)  # mix of dense + hashed
+        a = hashgrid.encode_oct_split(x, table, res, 2**10)
+        b = hashgrid.encode_oct(x, table, res, 2**10)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        # Prepared-tables path (the eval renderer) matches too.
+        phys = hashgrid.build_oct_tables_split(table, res, 2**10)
+        c = hashgrid.encode_oct_split(x, table, res, 2**10, phys)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+    def test_osplit_grad_matches_autodiff(self):
+        """osplit custom VJP (per-level sorted reduction + roll fold) must
+        match plain AD through encode_oct_split's scatter path."""
+        rng = jax.random.PRNGKey(32)
+        x = jax.random.uniform(rng, (97, 3), minval=0.01, maxval=0.99)
+        table = jax.random.normal(jax.random.fold_in(rng, 1), (4, 2**10, 2))
+        res = hashgrid.level_resolutions(4, 4, 64)
+        fn = hashgrid._oct_split_grad_encode(tuple(int(r) for r in res), 2**10)
+
+        np.testing.assert_allclose(
+            np.asarray(fn(x, table)),
+            np.asarray(hashgrid.encode_oct_split(x, table, res, 2**10)),
+            rtol=1e-6,
+        )
+
+        def loss_sorted(x, t):
+            return jnp.sum(jnp.sin(3.0 * fn(x, t)))
+
+        def loss_plain(x, t):
+            return jnp.sum(
+                jnp.sin(3.0 * hashgrid.encode_oct_split(x, t, res, 2**10))
+            )
+
+        gx_s, gt_s = jax.grad(loss_sorted, argnums=(0, 1))(x, table)
+        gx_p, gt_p = jax.grad(loss_plain, argnums=(0, 1))(x, table)
+        # Plain AD pushes the table cotangent back through the f32->bf16
+        # cast, ROUNDING each per-corner contribution to bf16 before the
+        # scatter accumulates it; the custom VJP keeps the whole reduction
+        # in f32 (strictly more accurate — pinned against the f32 oct VJP
+        # in the next test). The comparison here is bf16-grade.
+        np.testing.assert_allclose(
+            np.asarray(gt_s), np.asarray(gt_p), rtol=0.15, atol=1e-2
+        )
+        np.testing.assert_allclose(
+            np.asarray(gx_s), np.asarray(gx_p), rtol=1e-2, atol=1e-3
+        )
+
+    def test_osplit_grad_vs_oct_f32_reference(self):
+        """The osplit table gradient (computed in f32 from exact w*g
+        products) must match the oct VJP's table gradient bit-for-bit up
+        to summation order — bf16 only touches the FORWARD features."""
+        rng = jax.random.PRNGKey(33)
+        x = jax.random.uniform(rng, (97, 3), minval=0.01, maxval=0.99)
+        table = jax.random.normal(jax.random.fold_in(rng, 1), (4, 2**10, 2))
+        res = hashgrid.level_resolutions(4, 4, 64)
+        res_key = tuple(int(r) for r in res)
+        fn_split = hashgrid._oct_split_grad_encode(res_key, 2**10)
+        fn_oct = hashgrid._oct_grad_encode(res_key, 2**10)
+        g = jax.random.normal(jax.random.fold_in(rng, 2), (97, 8))
+        _, vjp_split = jax.vjp(lambda t: fn_split(x, t), table)
+        _, vjp_oct = jax.vjp(lambda t: fn_oct(x, t), table)
+        np.testing.assert_allclose(
+            np.asarray(vjp_split(g)[0]),
+            np.asarray(vjp_oct(g)[0]),
+            rtol=1e-3, atol=1e-5,
+        )
+
     def test_oct_trimmed_dense_boundary_level(self):
         """Dense level with (res+1)^3 barely <= T (res=9, s^3=1000 vs
         T=1024): the trimmed phys table's roll-fold must stay exact even
