@@ -78,7 +78,7 @@ def run_backend(name: str, fixture: str, exp_root: str, steps_scale: float):
         ],
     )
     t0 = time.perf_counter()
-    state, history, occupancy = train(config, force=False)
+    state, history, occupancy = train(config)
     train_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
