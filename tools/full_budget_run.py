@@ -45,6 +45,13 @@ RUNS = {
         scene_sub="dtu_format",
         steps=30000,
     ),
+    # NeRF++ reference budget: 100k steps x 1024 rays
+    # (`nerfplusplus/configs/kitti.txt` N_iters semantics).
+    "nerfpp": dict(
+        config=os.path.join(REPO, "configs", "kitti_nerfpp.json"),
+        scene_sub="nerfpp",
+        steps=100000,
+    ),
 }
 
 
@@ -60,7 +67,8 @@ def ensure_fixture(path: str, n_images: int = 30):
         raise RuntimeError(f"fixture generation failed: {r.stdout}{r.stderr}")
 
 
-def run_backend(name: str, fixture: str, exp_root: str, steps_scale: float):
+def run_backend(name: str, fixture: str, exp_root: str, steps_scale: float,
+                extra_overrides=()):
     from outdoor_nerf_depth_tpu.train.config import load_config
     from outdoor_nerf_depth_tpu.train.loop import evaluate, train
 
@@ -75,6 +83,7 @@ def run_backend(name: str, fixture: str, exp_root: str, steps_scale: float):
             "print_every=500",
             "train_render_every=0",
             "compute_ssim=true",
+            *extra_overrides,
         ],
     )
     t0 = time.perf_counter()
@@ -109,11 +118,14 @@ def run_backend(name: str, fixture: str, exp_root: str, steps_scale: float):
 
 def main(argv):
     kv = dict(a.split("=", 1) for a in argv)
-    backends = kv.get("backends", "mip,ngp").split(",")
-    out = kv.get("out", "QUALITY_full_r04.json")
-    fixture = kv.get("fixture", "/tmp/kitti_fixture_full")
-    exp_root = kv.get("exp_root", "/tmp/full_budget")
-    steps_scale = float(kv.get("steps_scale", 1.0))
+    backends = kv.pop("backends", "mip,ngp").split(",")
+    out = kv.pop("out", "QUALITY_full_r04.json")
+    fixture = kv.pop("fixture", "/tmp/kitti_fixture_full")
+    exp_root = kv.pop("exp_root", "/tmp/full_budget")
+    steps_scale = float(kv.pop("steps_scale", 1.0))
+    # Anything left is forwarded to every backend config verbatim
+    # (e.g. checkpoint_every=2000 when the run must stay killable).
+    extra = tuple(f"{k}={v}" for k, v in kv.items())
 
     ensure_fixture(fixture)
 
@@ -129,7 +141,7 @@ def main(argv):
                            if r["backend"] not in backends]
     for name in backends:
         print(f"=== full-budget run: {name} ===", flush=True)
-        r = run_backend(name, fixture, exp_root, steps_scale)
+        r = run_backend(name, fixture, exp_root, steps_scale, extra)
         results["runs"].append(r)
         with open(out, "w") as f:
             json.dump(results, f, indent=2)
