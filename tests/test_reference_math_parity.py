@@ -636,3 +636,97 @@ class TestRegularizerParity:
             losses.distortion_loss(hist),
             rtol=1e-5,
         )
+
+
+class TestRefUtilsParity:
+    """Ref-NeRF direction machinery vs `internal/ref_utils.py`."""
+
+    @pytest.fixture(scope="class")
+    def ref_utils(self, ref):
+        import math as _pymath
+
+        sys.path.insert(0, MIP_DIR)
+        # The reference calls np.math.factorial; numpy 2.x removed the
+        # np.math alias. Shim it for the duration of these tests only.
+        had = hasattr(np, "math")
+        if not had:
+            np.math = _pymath
+        try:
+            from internal import ref_utils as m
+            yield m
+        finally:
+            sys.path.remove(MIP_DIR)
+            if not had and hasattr(np, "math"):
+                del np.math
+
+    def test_reflect_and_normalize(self, ref_utils):
+        from outdoor_nerf_depth_tpu.ops import refdirs
+
+        v = jax.random.normal(_rng(80), (64, 3))
+        n = ref_utils.l2_normalize(jax.random.normal(_rng(81), (64, 3)))
+        np.testing.assert_allclose(
+            ref_utils.l2_normalize(v), refdirs.l2_normalize(v), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            ref_utils.reflect(v, n), refdirs.reflect(v, n), atol=1e-6
+        )
+
+    def test_weighted_mae(self, ref_utils):
+        from outdoor_nerf_depth_tpu.ops import refdirs
+
+        w = jax.random.uniform(_rng(82), (32,))
+        n1 = ref_utils.l2_normalize(jax.random.normal(_rng(83), (32, 3)))
+        n2 = ref_utils.l2_normalize(jax.random.normal(_rng(84), (32, 3)))
+        np.testing.assert_allclose(
+            ref_utils.compute_weighted_mae(w, n1, n2),
+            refdirs.weighted_mae_degrees(w, n1, n2),
+            rtol=1e-5,
+        )
+
+    def test_ide_and_dir_enc(self, ref_utils):
+        from outdoor_nerf_depth_tpu.ops import refdirs
+
+        d = ref_utils.l2_normalize(jax.random.normal(_rng(85), (48, 3)))
+        kappa_inv = jax.random.uniform(_rng(86), (48, 1)) * 0.2
+        for deg in (2, 4):
+            np.testing.assert_allclose(
+                ref_utils.generate_ide_fn(deg)(d, kappa_inv),
+                refdirs.generate_ide_fn(deg)(d, kappa_inv),
+                atol=1e-5,
+            )
+        np.testing.assert_allclose(
+            ref_utils.generate_dir_enc_fn(4)(d),
+            refdirs.generate_dir_enc_fn(4)(d),
+            atol=1e-5,
+        )
+
+
+class TestGeopolyParity:
+    """Geodesic basis vs `internal/geopoly.py:78-124` (as a direction SET —
+    tesselation vertex ordering is not part of the contract)."""
+
+    @pytest.fixture(scope="class")
+    def geopoly(self, ref):
+        sys.path.insert(0, MIP_DIR)
+        try:
+            from internal import geopoly as m
+            yield m
+        finally:
+            sys.path.remove(MIP_DIR)
+
+    @pytest.mark.parametrize("shape,tess", [("icosahedron", 2),
+                                            ("octahedron", 2)])
+    def test_basis_direction_set(self, geopoly, shape, tess):
+        from outdoor_nerf_depth_tpu.ops import spaces
+
+        ref_basis = np.asarray(geopoly.generate_basis(shape, tess))  # [n, 3]
+        ours = np.asarray(spaces.sphere_basis(shape, tess)).T        # [m, 3]
+        assert ref_basis.shape == ours.shape
+        # Every reference direction appears in ours up to sign (symmetries
+        # were removed with an arbitrary sign pick) and vice versa.
+        d2 = np.minimum(
+            np.sum((ref_basis[:, None] - ours[None]) ** 2, -1),
+            np.sum((ref_basis[:, None] + ours[None]) ** 2, -1),
+        )
+        assert np.max(np.min(d2, axis=1)) < 1e-8
+        assert np.max(np.min(d2, axis=0)) < 1e-8
