@@ -730,3 +730,78 @@ class TestGeopolyParity:
         )
         assert np.max(np.min(d2, axis=1)) < 1e-8
         assert np.max(np.min(d2, axis=0)) < 1e-8
+
+
+class TestNerfppInvertedSphereParity:
+    """NeRF++ background parametrization vs the torch reference
+    (`nerfplusplus/ddp_model.py:16-45` depth2pts_outside and the
+    intersect_sphere helper) — the trickiest geometry in that backend
+    (Rodrigues rotation of the unit-sphere exit point + real-depth
+    recovery)."""
+
+    NPP_DIR = "/root/reference/nerf-methods/nerfplusplus"
+
+    @pytest.fixture(scope="class")
+    def ref_npp(self):
+        if not os.path.isdir(self.NPP_DIR):
+            pytest.skip("nerfplusplus reference not present")
+        saved = {k: sys.modules.get(k) for k in ("utils", "nerf_network",
+                                                 "ddp_model")}
+        sys.path.insert(0, self.NPP_DIR)
+        try:
+            import ddp_model
+            yield ddp_model
+        finally:
+            sys.path.remove(self.NPP_DIR)
+            for k, v in saved.items():
+                if v is None:
+                    sys.modules.pop(k, None)
+                else:
+                    sys.modules[k] = v
+
+    def test_depth2pts_outside(self, ref_npp):
+        import torch
+
+        from outdoor_nerf_depth_tpu.ops import geometry
+
+        rng = np.random.RandomState(5)
+        ray_o = (rng.uniform(-0.5, 0.5, (64, 3))).astype(np.float32)
+        ray_d = rng.normal(size=(64, 3)).astype(np.float32)
+        inv_r = rng.uniform(0.05, 1.0, (64,)).astype(np.float32)
+
+        pts_r, depth_r = ref_npp.depth2pts_outside(
+            torch.from_numpy(ray_o), torch.from_numpy(ray_d),
+            torch.from_numpy(inv_r),
+        )
+        pts_o, t_o = geometry.inverted_sphere_points(
+            jnp.asarray(ray_o), jnp.asarray(ray_d), jnp.asarray(inv_r)
+        )
+        np.testing.assert_allclose(
+            pts_r.numpy(), np.asarray(pts_o), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            depth_r.numpy(), np.asarray(t_o), rtol=1e-4, atol=1e-4
+        )
+
+    def test_intersect_sphere(self, ref_npp):
+        import torch
+
+        from outdoor_nerf_depth_tpu.ops import geometry
+
+        rng = np.random.RandomState(6)
+        ray_o = (rng.uniform(-0.5, 0.5, (64, 3))).astype(np.float32)
+        ray_d = rng.normal(size=(64, 3)).astype(np.float32)
+        # The reference's intersect_sphere lives in ddp_train_nerf /
+        # ddp_model depending on snapshot; recompute its formula directly
+        # (d1 + d2 from ddp_model.py:21-27) as the ground truth.
+        o, d = torch.from_numpy(ray_o), torch.from_numpy(ray_d)
+        d1 = -torch.sum(d * o, dim=-1) / torch.sum(d * d, dim=-1)
+        p = o + d1.unsqueeze(-1) * d
+        d2 = torch.sqrt(1.0 - torch.sum(p * p, -1)) / torch.norm(d, dim=-1)
+        t_exit, valid = geometry.intersect_unit_sphere(
+            jnp.asarray(ray_o), jnp.asarray(ray_d)
+        )
+        assert bool(np.all(np.asarray(valid)))
+        np.testing.assert_allclose(
+            (d1 + d2).numpy(), np.asarray(t_exit), rtol=1e-5, atol=1e-5
+        )
