@@ -58,3 +58,31 @@ class TestSweepEndToEnd:
         out = capsys.readouterr().out
         assert out.count("sweep point") == 3
         assert not os.path.exists(os.path.join(exp, "sweep_summary.json"))
+
+
+def test_full_budget_runner_override_passthrough():
+    """Unknown key=value args forward into every backend config."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "full_budget_run",
+        _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                      "tools", "full_budget_run.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    captured = {}
+
+    def fake_run(name, fixture, exp_root, steps_scale, extra=()):
+        captured[name] = extra
+        return {"backend": name, "steps": 1}
+
+    mod.run_backend = fake_run
+    mod.ensure_fixture = lambda *a, **k: None
+    out = "/tmp/_fbr_test.json"
+    if _os.path.exists(out):
+        _os.remove(out)
+    mod.main([f"out={out}", "backends=mip", "checkpoint_every=2000",
+              "steps_scale=0.5"])
+    assert captured["mip"] == ("checkpoint_every=2000",)
