@@ -69,8 +69,14 @@ def ssim(
             x = jnp.moveaxis(x, axis, -1)  # [..., L]
             shape = x.shape
             x = x.reshape(-1, 1, shape[-1])
+            # HIGHEST precision: the TPU's default bf16-grade conv makes
+            # var = E[x^2] - E[x]^2 cancel catastrophically on
+            # near-constant windows (black sky), flipping denominator
+            # signs — the r4 full-budget NGP eval measured ssim = -3.08
+            # on TPU vs 0.974 for the same checkpoint on CPU.
             out = jax.lax.conv_general_dilated(
-                x, kernel.reshape(1, 1, filter_size), (1,), "VALID"
+                x, kernel.reshape(1, 1, filter_size), (1,), "VALID",
+                precision=jax.lax.Precision.HIGHEST,
             )
             out = out.reshape(shape[:-1] + (out.shape[-1],))
             return jnp.moveaxis(out, -1, axis)
@@ -79,8 +85,11 @@ def ssim(
 
     mu_p, mu_t = blur(pred), blur(target)
     mu_pp, mu_tt, mu_pt = blur(pred**2), blur(target**2), blur(pred * target)
-    var_p = mu_pp - mu_p**2
-    var_t = mu_tt - mu_t**2
+    # True variances are >= 0; the subtraction can go (slightly) negative
+    # from roundoff on near-constant windows — clamp so the denominator
+    # can never change sign.
+    var_p = jnp.maximum(0.0, mu_pp - mu_p**2)
+    var_t = jnp.maximum(0.0, mu_tt - mu_t**2)
     cov = mu_pt - mu_p * mu_t
 
     c1 = (k1 * max_val) ** 2

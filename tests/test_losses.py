@@ -240,3 +240,28 @@ class TestMetrics:
     def test_ssim_identity(self):
         img = jnp.asarray(np.random.default_rng(5).uniform(size=(16, 16, 3)))
         np.testing.assert_allclose(float(metrics.ssim(img, img)), 1.0, atol=1e-4)
+
+
+def test_ssim_near_constant_regions_stay_in_range():
+    """Regression: bf16-grade conv precision made var = E[x^2]-E[x]^2 go
+    negative on near-constant (black-sky) windows, flipping the SSIM
+    denominator sign (measured ssim=-3.08 on TPU for a render whose CPU
+    ssim was 0.974). HIGHEST-precision conv + variance clamping pin it."""
+    import jax
+    import jax.numpy as jnp
+
+    from outdoor_nerf_depth_tpu.train import metrics
+
+    rng = np.random.RandomState(0)
+    # Mostly exact-zero sky with a textured band, like the KITTI fixture.
+    gt = np.zeros((94, 310, 3), np.float32)
+    gt[70:, :, :] = rng.uniform(0.2, 0.6, (24, 310, 3))
+    pred = gt + rng.normal(0, 0.01, gt.shape).astype(np.float32)
+    pred[:70] = np.abs(rng.normal(0, 1e-4, (70, 310, 3))).astype(np.float32)
+    s = float(metrics.ssim(jnp.asarray(pred), jnp.asarray(gt)))
+    assert -1.0 <= s <= 1.0
+    assert s > 0.9
+
+    # Exactly-identical images score ~1 even when constant.
+    s1 = float(metrics.ssim(jnp.asarray(gt), jnp.asarray(gt)))
+    assert s1 > 0.99
