@@ -22,16 +22,22 @@ the most complete one, even if the run is killed mid-way); the primary
 value is rays/s/chip on nerfpp_1024, falling back to the best surviving
 workload when nerfpp itself errors.
 
-Harness design (VERDICT r2 #1 — the r2 artifact was 0.0 because one cold
-tunnel compile ate the whole alarm and two transient remote-compile HTTP
-500s were recorded as final):
+Harness design (VERDICT r2 #1, r4 weak #1 — the r2 artifact was 0.0
+because one cold tunnel compile ate the whole alarm; the r4 artifact was
+1-of-4 because the separate measure subprocess re-paid compiles the warm
+subprocess had already done and the budget drained before NGP's turn):
   * every workload runs in its OWN subprocess — a wedged/poisoned tunnel
     connection dies with the child instead of the whole bench;
-  * a --warm pass (setup + compile + 1 dispatch, generous timeout)
-    populates the persistent .xla_cache first, so the measure pass starts
-    from warm compiles and keeps a short timeout;
+  * compile + warm dispatches + the timed window all happen in that ONE
+    subprocess (single pass): nothing depends on a second process
+    replaying the persistent .xla_cache, which programs containing
+    while_loops demonstrably do not (r4: mip warm ok, measure rc=124);
+  * workloads run NGP before mip, and each workload's timeout reserves a
+    floor for the ones still queued, so the budget cannot drain before
+    the later workloads get a turn;
   * transient failures (remote-compile HTTP 5xx, tunnel resets, timeouts)
-    are retried with backoff; deterministic Python errors are not;
+    are retried with backoff — a retry after a mid-measure timeout DOES
+    hit the persistent cache, same process lineage;
   * a global deadline bounds the worst case; whatever survives is
     reported, with the headline taken from the best surviving workload.
 
@@ -54,11 +60,14 @@ import time
 ROOFLINE_TFLOPS = 115.0  # measured sustained bf16 matmul, this chip
 REF_RAYS_PER_SEC_GPU = 3500.0  # documented estimate; see module docstring
 
-# Measure-pass timeout: compiles are warm (persistent cache) by the time it
-# runs, so a short alarm is enough.
-MEASURE_TIMEOUT_S = int(os.environ.get("ONDT_BENCH_WORKLOAD_TIMEOUT", 360))
-# Warm-pass timeout: covers a cold tunnel compile (45 s - 10+ min observed).
-WARM_TIMEOUT_S = int(os.environ.get("ONDT_BENCH_WARM_TIMEOUT", 600))
+# Per-workload timeout: one subprocess does compile + warm + measure, so
+# this must cover a cold tunnel compile (45 s - 10+ min observed; cached
+# reruns are ~1-2 min).
+WORKLOAD_TIMEOUT_S = int(os.environ.get("ONDT_BENCH_WORKLOAD_TIMEOUT", 480))
+# Floor reserved for each workload still queued after the current one, so
+# an early slow workload cannot drain the whole budget (r4: nothing was
+# left by the time ngp_8192 ran).
+RESERVE_PER_QUEUED_S = int(os.environ.get("ONDT_BENCH_RESERVE", 120))
 RETRIES = int(os.environ.get("ONDT_BENCH_RETRIES", 1))
 # Total budget sized to the driver window the r1 capture demonstrably fit
 # (~15-20 min), NOT the r3 value of 3300 s (which the driver killed at
@@ -435,11 +444,14 @@ def bench_selftest(measure=True):
             "tflops_per_sec_per_chip": 0.0, "mfu_pct": 0.0}
 
 
+# Execution order: nerfpp first (headline continuity with BENCH_r01/r02),
+# then the NGP pair BEFORE mip — the r4 budget drained on mip retries with
+# the NGP numbers still unmeasured (VERDICT r4 #1).
 BENCHES = {
     "nerfpp_1024": ("nerfpp", bench_nerfpp),
-    "mip_4096": ("mip", bench_mip),
     "ngp_8192": ("ngp", bench_ngp_train),
     "ngp_eval": ("ngp_eval", bench_ngp_eval),
+    "mip_4096": ("mip", bench_mip),
     # Harness self-test; excluded from the default workload list.
     "_selftest": ("_selftest", bench_selftest),
 }
@@ -521,52 +533,34 @@ def _spawn(name: str, warm: bool, timeout_s: int):
     return {"ok": False, "error": text[:400], "retryable": _is_retryable(text)}
 
 
-def _run_workload(name: str, deadline: float):
-    """Warm (with retries) then measure (with retries) one workload."""
+def _run_workload(name: str, deadline: float, n_queued: int = 0):
+    """Run one workload single-pass (compile + warm + measure in one child).
 
-    def attempt(warm, base_timeout):
-        last = None
-        for i in range(1 + RETRIES):
-            remaining = deadline - time.monotonic()
-            if remaining < 30:
-                return last or {
-                    "ok": False,
-                    "error": "global bench budget exhausted",
-                    "retryable": False,
-                }
-            budget = int(min(base_timeout, remaining))
-            print(
-                f"[bench] {name} {'warm' if warm else 'measure'} "
-                f"attempt {i + 1} (timeout {budget}s)",
-                file=sys.stderr,
-                flush=True,
-            )
-            last = _spawn(name, warm, budget)
-            if last.get("ok") or not last.get("retryable"):
-                return last
-            time.sleep(min(RETRY_BACKOFF_S, max(0, deadline - time.monotonic())))
-        return last
-
-    warm_res = attempt(warm=True, base_timeout=WARM_TIMEOUT_S)
-    if not warm_res.get("ok"):
-        # One long-budget measure try anyway: the warm pass may have failed
-        # for a reason the measure path does not hit.
-        meas = attempt(warm=False, base_timeout=WARM_TIMEOUT_S)
-        if meas.get("ok"):
-            return meas["result"]
-        return {
-            "error": meas.get("error", "unknown"),
-            "warm_error": warm_res.get("error", "unknown"),
-        }
-    # Some programs (e.g. the eval renderer's while_loop) don't replay
-    # from the persistent cache, so the measure pass may re-pay the warm
-    # pass's compile: budget at least what warming took, plus slack.
-    warm_s = float(warm_res.get("elapsed_s", 0.0))
-    meas_timeout = max(MEASURE_TIMEOUT_S, int(1.5 * warm_s) + 60)
-    meas = attempt(warm=False, base_timeout=meas_timeout)
-    if meas.get("ok"):
-        return meas["result"]
-    return {"error": meas.get("error", "unknown"), "warmed": True}
+    `n_queued` is the number of workloads still waiting after this one:
+    their reserve is subtracted from this workload's timeout so the global
+    budget cannot drain before they get a turn.
+    """
+    last = None
+    for i in range(1 + RETRIES):
+        remaining = deadline - time.monotonic()
+        usable = remaining - RESERVE_PER_QUEUED_S * n_queued
+        if usable < 45:
+            return last and {"error": last.get("error", "unknown")} or {
+                "error": "global bench budget exhausted"
+            }
+        budget = int(min(WORKLOAD_TIMEOUT_S, usable))
+        print(
+            f"[bench] {name} attempt {i + 1} (timeout {budget}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+        last = _spawn(name, warm=False, timeout_s=budget)
+        if last.get("ok"):
+            return last["result"]
+        if not last.get("retryable"):
+            return {"error": last.get("error", "unknown")}
+        time.sleep(min(RETRY_BACKOFF_S, max(0, deadline - time.monotonic())))
+    return {"error": last.get("error", "unknown")}
 
 
 def _headline_json(results, n_chips):
@@ -605,16 +599,21 @@ def main():
     n_chips = jax.device_count()
     deadline = time.monotonic() + TOTAL_BUDGET_S
     results = {}
-    last_line = _headline_json(results, n_chips)
+    queue = [
+        name for name, (key, _) in BENCHES.items() if key in wanted
+    ]
     # The headline JSON is (re)printed cumulatively after EVERY completed
     # workload: if the driver kills the bench mid-run, the last parseable
     # line still carries everything measured so far (VERDICT r3 #1a).
-    for name, (key, _) in BENCHES.items():
-        if key not in wanted:
-            continue
-        results[name] = _run_workload(name, deadline)
-        last_line = _headline_json(results, n_chips)
-        print(last_line, flush=True)
+    for pos, name in enumerate(queue):
+        results[name] = _run_workload(
+            name, deadline, n_queued=len(queue) - pos - 1
+        )
+        print(_headline_json(results, n_chips), flush=True)
+    if not queue:
+        # Always-one-line contract (ADVICE r4 #3): an empty workload
+        # filter still prints a parseable (zero-valued) headline.
+        print(_headline_json(results, n_chips), flush=True)
 
 
 if __name__ == "__main__":

@@ -42,9 +42,12 @@ class HashGridField(nn.Module):
     # reference `networks.py:79-92`, `:109-130`) map it + log-exposure to LDR.
     rgb_activation: str = "sigmoid"
     tonemap_width: int = 64
-    # "oct" (default) = TPU gather-packed table layout (1 gather per
-    # sample-level); "quad" = same hash, 2 gathers; "corner" = the classic
-    # per-corner XOR hash. See `ops/hashgrid.py` module docstring.
+    # "osplit" (default) = per-LEVEL bf16 gather-packed tables sized to the
+    # measured v5e gather curve (cost per row scales with SOURCE size), one
+    # gather per sample-level + per-level sorted-segment backward; "oct" =
+    # same packing in one concatenated table; "quad" = same hash, 2
+    # gathers; "corner" = the classic per-corner XOR hash. See
+    # `ops/hashgrid.py` module docstring.
     hash_layout: str = "osplit"
     # Table-gradient path ("auto" = scatter-free sorted-segment on TPU,
     # plain AD scatter elsewhere; see HashGridEncoding.grad_mode).

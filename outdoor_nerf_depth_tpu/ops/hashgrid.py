@@ -18,10 +18,12 @@ L=16 levels, F=2 features/level, T=2^19 table, N_min=16, growth b from
 The table lives in an ordinary flax param — shardable over a mesh axis if
 the table ever outgrows HBM.
 
-TPU gather-granularity redesign ("oct" layout, the default): random-access
-gather on the v5e is PER-ROW bound — ~28-34 ns per gathered row at 8-64 B
-rows, roughly row-width independent (r3 measurement with forced fetches;
-an earlier "6.4 ns/row" reading was a tunnel deferred-execution artifact).
+TPU gather-granularity redesign (the "oct" family; "osplit" is the
+default): random-access gather on the v5e is PER-ROW bound and the per-row
+cost scales with the SOURCE array's size — ~7 ns/row from <=2 MB sources,
+~16 ns at 16 MB, ~21 ns at 128+ MB, roughly row-width independent at
+8-64 B rows (r4 measurement with forced fetches; an earlier "6.4 ns/row"
+reading was a tunnel deferred-execution artifact).
 So the per-step cost is set by gathered-ROW COUNT, not bytes, and the
 design goal is fewest rows per (sample, level). The classic layout needs 8
 corner gathers. The "oct" layout makes the hash *fully linear* —

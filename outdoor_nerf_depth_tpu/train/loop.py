@@ -39,12 +39,7 @@ def build_dataset(config: Config, split: str):
             global_batch_size=config.batch_size,
             cast_on_device=config.cast_rays_in_train_step,
             sample_every=config.sample_every if split == "train" else 1,
-            depth_sup_type=(
-                config.depth_sup_type
-                if config.depth_sup_type
-                in ("gt", "stereo_like", "mono_like", "rgbonly")
-                else "gt"
-            ),
+            depth_sup_type=config.depth_sup_type,
         )
     if config.dataset == "driving":
         ds = datasets_lib.DrivingSceneDataset(

@@ -82,14 +82,24 @@ class TestSubprocessHarness:
         deadline = time.monotonic() + 300
         result = bench._run_workload("_selftest", deadline)
         assert result.get("rays_per_sec_per_chip") == 123.0
-        # warm failed once (retryable), retried ok, then measure ran: >= 3.
-        assert int(open(counter).read()) >= 3
+        # single-pass harness: attempt 1 failed (retryable), attempt 2 ran.
+        assert int(open(counter).read()) == 2
+
+    def test_budget_reserve_for_queued_workloads(self, bench, monkeypatch):
+        """With the remaining budget fully reserved for queued workloads,
+        the current one must yield without spawning (r4: the budget
+        drained on mip before ngp's turn)."""
+        monkeypatch.setenv("ONDT_BENCH_SELFTEST_MODE", "ok")
+        deadline = time.monotonic() + 3 * bench.RESERVE_PER_QUEUED_S
+        result = bench._run_workload("_selftest", deadline, n_queued=3)
+        assert "budget exhausted" in result["error"]
 
 
 class TestHeadlineFallback:
     def _main_output(self, bench, monkeypatch, canned, capsys):
         monkeypatch.setattr(
-            bench, "_run_workload", lambda name, deadline: canned[name]
+            bench, "_run_workload",
+            lambda name, deadline, n_queued=0: canned[name],
         )
         monkeypatch.setenv(
             "ONDT_BENCH_WORKLOADS", "nerfpp,mip,ngp,ngp_eval"
@@ -141,3 +151,22 @@ class TestHeadlineFallback:
         out = self._main_output(bench, monkeypatch, canned, capsys)
         assert out["value"] == 0.0
         assert out["headline_workload"] is None
+
+    def test_ngp_runs_before_mip(self, bench):
+        order = [n for n in bench.BENCHES if not n.startswith("_")]
+        assert order.index("ngp_8192") < order.index("mip_4096")
+        assert order.index("ngp_eval") < order.index("mip_4096")
+
+    def test_empty_filter_still_prints_headline(self, bench, monkeypatch,
+                                                capsys):
+        """ADVICE r4 #3: filtering out every workload must still leave one
+        parseable headline line."""
+        monkeypatch.setenv("ONDT_BENCH_WORKLOADS", "none_of_them")
+        bench.main()
+        lines = [
+            l for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")
+        ]
+        assert len(lines) == 1
+        out = json.loads(lines[0])
+        assert out["value"] == 0.0 and out["workloads"] == {}

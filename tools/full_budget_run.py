@@ -72,6 +72,8 @@ def run_backend(name: str, fixture: str, exp_root: str, steps_scale: float,
     from outdoor_nerf_depth_tpu.train.config import load_config
     from outdoor_nerf_depth_tpu.train.loop import evaluate, train
 
+    from outdoor_nerf_depth_tpu.train import checkpoints as ckpt_lib
+
     spec = RUNS[name]
     steps = max(100, int(spec["steps"] * steps_scale))
     config = load_config(
@@ -86,9 +88,15 @@ def run_backend(name: str, fixture: str, exp_root: str, steps_scale: float,
             *extra_overrides,
         ],
     )
+    # Throughput must count only the steps THIS segment trained: on a
+    # checkpoint-resumed run, dividing the full budget by the segment's
+    # wall time would overstate rays/s (ADVICE r4 #4).
+    resumed_from = ckpt_lib.latest_step(
+        os.path.join(config.exp_dir, "checkpoints")) or 0
     t0 = time.perf_counter()
     state, history, occupancy = train(config)
     train_s = time.perf_counter() - t0
+    steps_this_segment = max(0, steps - min(resumed_from, steps))
 
     t0 = time.perf_counter()
     mean, per_image = evaluate(config, state, occupancy=occupancy,
@@ -110,8 +118,10 @@ def run_backend(name: str, fixture: str, exp_root: str, steps_scale: float,
         "final_train_psnr": round(float(history[-1]["psnr"]), 3) if history else None,
         "train_seconds": round(train_s, 1),
         "eval_seconds": round(eval_s, 1),
+        "resumed_from_step": resumed_from,
+        "steps_this_segment": steps_this_segment,
         "rays_per_sec_train": round(
-            config.batch_size * steps / max(train_s, 1e-9), 1
+            config.batch_size * steps_this_segment / max(train_s, 1e-9), 1
         ) if history else None,
     }
 
