@@ -10,6 +10,6 @@ to the functional train step), and their inference CLIs write the uint16
 depth-PNG contract the NeRF data layer consumes.
 """
 
-from outdoor_nerf_depth_tpu.depth_priors import completion, stereo
+from outdoor_nerf_depth_tpu.depth_priors import benchmark_data, completion, stereo
 
-__all__ = ["completion", "stereo"]
+__all__ = ["benchmark_data", "completion", "stereo"]

@@ -35,6 +35,30 @@ def main(argv):
         if name == "stereo":
             q.add_argument("--variant", default="cfnet", choices=["cfnet", "pcwnet"])
             q.add_argument("--max-disparity", type=int, default=192)
+            q.add_argument(
+                "--list-file",
+                default=None,
+                help="reference-format filename list (`left right [disp]` "
+                "rows, paths relative to --data); selects the benchmark "
+                "ingestion path instead of the folder layout",
+            )
+            q.add_argument(
+                "--benchmark",
+                default=None,
+                # keep in sync with benchmark_data.SCANNERS
+                choices=["eth3d", "kitti2012", "kitti2015", "middlebury",
+                         "sceneflow"],
+                help="scan --data in this benchmark's directory layout "
+                "instead of reading a list file",
+            )
+            q.add_argument("--split", default=None,
+                           help="benchmark split for --benchmark scans "
+                           "(e.g. training / TRAIN)")
+            q.add_argument(
+                "--eval-list",
+                default=None,
+                help="after training, report EPE/D1 over this filename list",
+            )
         else:
             q.add_argument("--arch", default="guided", choices=["guided", "resnet"])
             q.add_argument(
@@ -60,7 +84,21 @@ def main(argv):
     )
 
     if args.cmd == "stereo":
-        ds = prior_data.StereoPairDataset(args.data, crop=tuple(args.crop))
+        from outdoor_nerf_depth_tpu.depth_priors import benchmark_data
+
+        if args.list_file:
+            ds = benchmark_data.StereoBenchmarkDataset.from_list_file(
+                args.data, args.list_file, crop=tuple(args.crop)
+            )
+        elif args.benchmark:
+            kw = {"crop": tuple(args.crop)}
+            if args.split:
+                kw["split"] = args.split
+            ds = benchmark_data.StereoBenchmarkDataset.from_scan(
+                args.data, args.benchmark, **kw
+            )
+        else:
+            ds = prior_data.StereoPairDataset(args.data, crop=tuple(args.crop))
         model = stereo.StereoNet(
             variant=args.variant, max_disparity=args.max_disparity
         )
@@ -148,6 +186,33 @@ def main(argv):
         with open(args.out, "wb") as f:
             f.write(flax.serialization.to_bytes(variables))
         print(f"saved params to {args.out}")
+
+    if args.cmd == "stereo" and getattr(args, "eval_list", None):
+        # Benchmark-style evaluation (reference `CFNet/main.py` test loop):
+        # full images shaped to the benchmark's canonical eval geometry,
+        # EPE + D1 over valid GT pixels.
+        import numpy as np
+
+        eval_ds = benchmark_data.StereoBenchmarkDataset.from_list_file(
+            args.data, args.eval_list, augment=False
+        )
+        apply = jax.jit(model.apply)
+        totals, n_images = {"epe": 0.0, "d1": 0.0}, 0
+        for i in range(len(eval_ds)):
+            b = eval_ds.eval_batch(i)
+            pred = apply(variables, jnp.asarray(b["left"]),
+                         jnp.asarray(b["right"]))["disparity"]
+            m = benchmark_data.disparity_metrics(
+                np.asarray(pred)[0], b["disparity"][0], b["valid"][0],
+                max_disp=args.max_disparity,
+            )
+            if m["n_valid"] == 0:
+                continue
+            totals = {k: totals[k] + m[k] for k in totals}
+            n_images += 1
+        mean = {k: round(v / max(n_images, 1), 4) for k, v in totals.items()}
+        print(f"eval [{args.eval_list}]: n={n_images} "
+              f"EPE {mean['epe']} D1 {mean['d1']}", flush=True)
 
 
 if __name__ == "__main__":
