@@ -526,12 +526,18 @@ def _oct_split_row_sums(idx_flat, vals, n_rows: int):
     the level-local domain: every sort and gather touches m + rows_l
     entries instead of the global sum — the arrays the gathers read stay
     at the fast end of the measured size/cost curve."""
+    from outdoor_nerf_depth_tpu.ops import pallas_scan
+
     m = idx_flat.shape[0]
     lanes = vals.shape[-1]
     _, sd = jax.lax.sort(
         (idx_flat, jnp.arange(m, dtype=jnp.int32)), num_keys=1
     )
-    csum = jnp.cumsum(jnp.take(vals, sd, axis=0), axis=0)
+    # Narrow-lane prefix sum: XLA's cumsum on [m, 16] pays the 128-lane
+    # tile padding several times over (r4: 77 ms at [16.8M, 16] vs a ~3 ms
+    # bandwidth floor); the lane-folded Pallas scan runs one full-width
+    # pass (ops/pallas_scan.py).
+    csum = pallas_scan.cumsum_auto(jnp.take(vals, sd, axis=0))
 
     total = m + n_rows
     keys = jnp.concatenate(
@@ -705,11 +711,14 @@ def _oct_grad_encode(resolutions_key: tuple, table_size: int):
         idx_flat = idx.reshape(-1).astype(jnp.int32)
         m = idx_flat.shape[0]
 
-        # (1) data-only segment order: one m-row value gather + cumsum.
+        # (1) data-only segment order: one m-row value gather + cumsum
+        # (lane-folded Pallas scan on TPU; see _oct_split_row_sums).
+        from outdoor_nerf_depth_tpu.ops import pallas_scan
+
         _, sd = jax.lax.sort(
             (idx_flat, jnp.arange(m, dtype=jnp.int32)), num_keys=1
         )
-        csum = jnp.cumsum(jnp.take(vals, sd, axis=0), axis=0)
+        csum = pallas_scan.cumsum_auto(jnp.take(vals, sd, axis=0))
 
         # (2) int-only sentinel sorts give each row's boundary b_r.
         total = m + n_rows
