@@ -126,6 +126,49 @@ def main():
         idx_flat, vals,
     )
 
+    # Candidate: MERGED single data+sentinel sort (2 sorts total instead
+    # of 3): one 2-op sort over m+rows replaces data-sort + key-only
+    # sentinel sort; csum at each sentinel then holds the full prefix, so
+    # row sums are direct adjacent differences of the compacted csum.
+    def merged_row_sums(i, v):
+        total = m + n_rows
+        keys = jnp.concatenate(
+            [i * 2, jnp.arange(n_rows, dtype=jnp.int32) * 2 + 1]
+        )
+        sk, sp = jax.lax.sort(
+            (keys, jnp.arange(total, dtype=jnp.int32)), num_keys=1
+        )
+        vv = jnp.where(
+            (sp < m)[:, None], jnp.take(v, jnp.minimum(sp, m - 1), axis=0),
+            0.0,
+        )
+        csum = pallas_scan.cumsum_auto(vv)
+        _, order = jax.lax.sort(
+            (sk & 1 ^ 1, jnp.arange(total, dtype=jnp.int32)),
+            num_keys=1, is_stable=True,
+        )
+        s_csum = jnp.take(csum, order[:n_rows], axis=0)
+        return s_csum - jnp.concatenate(
+            [jnp.zeros((1, LANES), s_csum.dtype), s_csum[:-1]], axis=0
+        )
+
+    results["row_sums_merged_1lvl_s"] = timeit(
+        jax.jit(merged_row_sums), idx_flat, vals
+    )
+    # Correctness cross-check of the candidate against the current path.
+    a = jax.jit(lambda i, v: hashgrid._oct_split_row_sums(i, v, n_rows))(
+        idx_flat, vals)
+    b_ = jax.jit(merged_row_sums)(idx_flat, vals)
+    results["merged_matches"] = bool(
+        jnp.max(jnp.abs(a - b_)) < 5e-2
+    )
+
+    # Full bwd with the Pallas scan disabled (XLA cumsum) for the A/B.
+    os.environ["ONDT_NO_PALLAS_SCAN"] = "1"
+    grad_xla = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    results["osplit_fwd_bwd_xla_cumsum_s"] = timeit(grad_xla, x, table)
+    del os.environ["ONDT_NO_PALLAS_SCAN"]
+
     # ---- Batched-across-levels variants.
     idx_all = jnp.stack([il.reshape(-1).astype(jnp.int32)
                          for il in idx_levels])  # [L, m]

@@ -285,6 +285,13 @@ class HashGridModel(nn.Module):
             rays.origins[..., None, :]
             + t_mid[..., None] * rays.viewdirs[..., None, :]
         )
+        # Park INVALID sample slots at a single constant point: their field
+        # output is masked to zero anyway (and contributes zero gradient),
+        # but left unclamped each dead slot still pays a real random-row
+        # hash gather per level. Identical rows are cache-hot — the gather
+        # cost curve is a locality effect (see ops/hashgrid.py) — so dead
+        # slots become nearly free instead of costing the full per-row toll.
+        pts = jnp.where(valid[..., None], pts, 0.0)
         exposure = getattr(rays, "exposure_values", None)
         if exposure is not None:
             exposure = exposure[..., None, :]  # broadcast over samples
@@ -433,6 +440,8 @@ class HashGridModel(nn.Module):
                 rays.origins[..., None, :]
                 + t_mid[..., None] * rays.viewdirs[..., None, :]
             )
+            # Dead slots gather from one constant cell (see train path).
+            sample_pts = jnp.where(valid[..., None], sample_pts, 0.0)
 
             # Rounds whose whole chunk hit no occupied candidate are pure
             # marching: skip the field matmuls entirely (the analog of the
