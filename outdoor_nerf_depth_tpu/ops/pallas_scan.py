@@ -176,6 +176,19 @@ def on_tpu() -> bool:
         return False
 
 
+# A pallas_call inside a MULTI-DEVICE sharded jit cannot be auto-partitioned
+# by the SPMD partitioner (and a prefix scan is not shard-local math anyway:
+# the carry crosses shard boundaries). The train-step factories flip this off
+# when the mesh has >1 device, keeping XLA's partition-aware cumsum there;
+# single-chip programs (and the bench) take the Pallas path.
+_ENABLED = True
+
+
+def set_enabled(flag: bool) -> None:
+    global _ENABLED
+    _ENABLED = bool(flag)
+
+
 def cumsum_auto(x, block_rows: int = 512):
     """Pallas scan on TPU; jnp.cumsum elsewhere (CPU tests, GPU).
 
@@ -184,7 +197,8 @@ def cumsum_auto(x, block_rows: int = 512):
     import os
 
     if (
-        x.ndim == 2
+        _ENABLED
+        and x.ndim == 2
         and LANE % x.shape[1] == 0
         and on_tpu()
         and os.environ.get("ONDT_NO_PALLAS_SCAN") != "1"

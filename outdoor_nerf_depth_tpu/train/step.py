@@ -351,6 +351,16 @@ def _build_step_fn(config: Config, model, cameras=None, camtype="perspective"):
     return step
 
 
+def _configure_pallas_scan(mesh):
+    # The hash-grid backward's Pallas prefix scan cannot be auto-partitioned
+    # by SPMD (the scan carry crosses shard boundaries): enable it only for
+    # single-device meshes; multi-device programs keep XLA's partition-aware
+    # cumsum (see ops/pallas_scan.py).
+    from outdoor_nerf_depth_tpu.ops import pallas_scan
+
+    pallas_scan.set_enabled(len(mesh.devices.flat) == 1)
+
+
 def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspective"):
     """Compile the sharded train step.
 
@@ -360,6 +370,7 @@ def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspect
     device inside the step (the reference's `cast_rays_in_train_step` fast
     path, now inside the jit so it fuses with the model).
     """
+    _configure_pallas_scan(mesh)
     step = _build_step_fn(config, model, cameras, camtype)
     repl = parallel.replicated(mesh)
     data = parallel.batch_sharding(mesh)
@@ -394,6 +405,7 @@ def make_multi_train_step(
     sharded over the mesh), `rngs` is [K] PRNG keys, `train_fracs` is a [K]
     float array. Stats returned are the final step's.
     """
+    _configure_pallas_scan(mesh)
     step = _build_step_fn(config, model, cameras, camtype)
 
     def multi(state, batches, rngs, train_fracs, aux=None):

@@ -47,6 +47,22 @@ class TestCumsum:
         with pytest.raises(ValueError, match="divide"):
             pallas_scan.cumsum(jnp.ones((8, 48)), interpret=True)
 
+    def test_multi_device_mesh_disables_pallas_path(self):
+        """SPMD can't partition the pallas scan: the step factory must
+        gate it off for >1-device meshes and on for single-device."""
+        from outdoor_nerf_depth_tpu import parallel
+        from outdoor_nerf_depth_tpu.train import step as step_lib
+
+        mesh = parallel.make_mesh()  # 8 virtual CPU devices (conftest)
+        assert len(mesh.devices.flat) > 1
+        step_lib._configure_pallas_scan(mesh)
+        assert not pallas_scan._ENABLED
+        single = jax.sharding.Mesh(
+            np.array(jax.devices()[:1]), ("data",)
+        )
+        step_lib._configure_pallas_scan(single)
+        assert pallas_scan._ENABLED
+
     def test_auto_fallback_off_tpu(self):
         # On CPU, cumsum_auto must route to jnp and still be correct.
         x = jnp.asarray(
