@@ -521,28 +521,60 @@ def encode_oct_split(x, table, resolutions, table_size: int, phys=None):
 
 
 def _oct_split_row_sums(idx_flat, vals, n_rows: int):
-    """Segment row sums for ONE level (data sort + sentinel boundaries +
-    one boundary gather), exactly `_oct_grad_encode`'s steps 1-3 but over
-    the level-local domain: every sort and gather touches m + rows_l
-    entries instead of the global sum — the arrays the gathers read stay
-    at the fast end of the measured size/cost curve."""
+    """Segment row sums for ONE level.
+
+    Two scatter-free pipelines, selected by ONDT_OSPLIT_ROWSUMS
+    ("threesort", the default pending on-chip measurement, or "merged"):
+
+    * "merged": ONE 2-operand sort over m + n_rows interleaves data keys
+      (2*idx) with per-row sentinel keys (2*r + 1); the prefix sum of the
+      sorted value stream (sentinels carry 0) evaluated AT each sentinel is
+      that row's inclusive total, so row sums are adjacent differences of
+      the csum compacted to sentinel positions (one stable partition sort).
+      2 sorts total.
+    * "threesort": the r4 pipeline — data-only sort for the value order,
+      then a key-only sentinel sort + stable partition for boundary
+      positions. 3 sorts, but the cumsum covers only m entries.
+
+    Both use the lane-folded Pallas prefix scan on TPU: XLA's cumsum on
+    narrow [*, 16] arrays pays the 128-lane tile padding several times
+    over (r4: 77 ms at [16.8M, 16] vs a ~3 ms bandwidth floor).
+    """
+    import os
+
     from outdoor_nerf_depth_tpu.ops import pallas_scan
 
     m = idx_flat.shape[0]
     lanes = vals.shape[-1]
-    _, sd = jax.lax.sort(
-        (idx_flat, jnp.arange(m, dtype=jnp.int32)), num_keys=1
-    )
-    # Narrow-lane prefix sum: XLA's cumsum on [m, 16] pays the 128-lane
-    # tile padding several times over (r4: 77 ms at [16.8M, 16] vs a ~3 ms
-    # bandwidth floor); the lane-folded Pallas scan runs one full-width
-    # pass (ops/pallas_scan.py).
-    csum = pallas_scan.cumsum_auto(jnp.take(vals, sd, axis=0))
-
     total = m + n_rows
     keys = jnp.concatenate(
         [idx_flat * 2, jnp.arange(n_rows, dtype=jnp.int32) * 2 + 1]
     )
+    if os.environ.get("ONDT_OSPLIT_ROWSUMS", "threesort") == "merged":
+        sk, sp = jax.lax.sort(
+            (keys, jnp.arange(total, dtype=jnp.int32)), num_keys=1
+        )
+        sv = jnp.where(
+            (sp < m)[:, None],
+            jnp.take(vals, jnp.minimum(sp, m - 1), axis=0),
+            0.0,
+        )
+        csum = pallas_scan.cumsum_auto(sv)
+        _, order = jax.lax.sort(
+            (sk & 1 ^ 1, jnp.arange(total, dtype=jnp.int32)),
+            num_keys=1,
+            is_stable=True,
+        )
+        s_csum = jnp.take(csum, order[:n_rows], axis=0)
+        return s_csum - jnp.concatenate(
+            [jnp.zeros((1, lanes), s_csum.dtype), s_csum[:-1]], axis=0
+        )
+
+    _, sd = jax.lax.sort(
+        (idx_flat, jnp.arange(m, dtype=jnp.int32)), num_keys=1
+    )
+    csum = pallas_scan.cumsum_auto(jnp.take(vals, sd, axis=0))
+
     (sk,) = jax.lax.sort((keys,), num_keys=1)
     _, order = jax.lax.sort(
         (sk & 1 ^ 1, jnp.arange(total, dtype=jnp.int32)),

@@ -305,6 +305,38 @@ class TestHashGrid:
             np.asarray(gx_s), np.asarray(gx_p), rtol=1e-2, atol=1e-3
         )
 
+    def test_osplit_rowsum_modes_agree(self, monkeypatch):
+        """The merged single-sort pipeline and the r4 three-sort pipeline
+        must produce identical table gradients (both scatter-free exact
+        f32 segment sums, just different boundary machinery)."""
+        rng = jax.random.PRNGKey(33)
+        x = jax.random.uniform(rng, (211, 3), minval=0.01, maxval=0.99)
+        table = jax.random.normal(jax.random.fold_in(rng, 1), (4, 2**10, 2))
+        res = hashgrid.level_resolutions(4, 4, 64)
+        fn = hashgrid._oct_split_grad_encode(tuple(int(r) for r in res), 2**10)
+
+        def loss(x, t):
+            return jnp.sum(jnp.sin(3.0 * fn(x, t)))
+
+        grads = {}
+        for mode in ("threesort", "merged"):
+            monkeypatch.setenv("ONDT_OSPLIT_ROWSUMS", mode)
+            # fresh jit so the env choice re-traces
+            grads[mode] = jax.jit(jax.grad(loss, argnums=(0, 1)))(x, table)
+        # Both are exact f32 segment sums; the prefix accumulation order
+        # differs (merged interleaves sentinel zeros), so allow
+        # reassociation-level noise.
+        np.testing.assert_allclose(
+            np.asarray(grads["merged"][1]),
+            np.asarray(grads["threesort"][1]),
+            rtol=1e-4, atol=2e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads["merged"][0]),
+            np.asarray(grads["threesort"][0]),
+            rtol=1e-4, atol=2e-5,
+        )
+
     def test_osplit_grad_vs_oct_f32_reference(self):
         """The osplit table gradient (computed in f32 from exact w*g
         products) must match the oct VJP's table gradient bit-for-bit up
