@@ -520,7 +520,45 @@ def encode_oct_split(x, table, resolutions, table_size: int, phys=None):
     return jnp.concatenate(outs, axis=-1)
 
 
-def _oct_split_row_sums(idx_flat, vals, n_rows: int):
+# Mesh used to shard the TABLE-GRADIENT reduction. The train-step factories
+# bind this (via set_grad_mesh) immediately before dispatch, so the value is
+# correct when jit traces the backward. With a >1-device mesh, each level's
+# segment sums run PER DEVICE over that device's samples inside shard_map,
+# then psum — the sum over samples decomposes exactly, every sort touches
+# only local data (no cross-device sort collectives), and the Pallas scan
+# is legal per device. With no mesh (or one device), the plain global path
+# runs and XLA partitions nothing.
+_GRAD_MESH = None
+
+
+def set_grad_mesh(mesh) -> None:
+    global _GRAD_MESH
+    _GRAD_MESH = (
+        mesh if mesh is not None and len(mesh.devices.flat) > 1 else None
+    )
+
+
+def _row_sums_for_grad(idx_flat, vals, n_rows: int):
+    """Dispatch the per-level segment sum: shard-local + psum on a
+    multi-device mesh, plain global otherwise."""
+    mesh = _GRAD_MESH
+    if mesh is None:
+        return _oct_split_row_sums(idx_flat, vals, n_rows)
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(i, v):
+        seg = _oct_split_row_sums(i, v, n_rows, force_pallas=True)
+        return jax.lax.psum(seg, axis)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P()
+    )(idx_flat, vals)
+
+
+def _oct_split_row_sums(idx_flat, vals, n_rows: int,
+                        force_pallas: bool = False):
     """Segment row sums for ONE level.
 
     Two scatter-free pipelines, selected by ONDT_OSPLIT_ROWSUMS
@@ -559,7 +597,7 @@ def _oct_split_row_sums(idx_flat, vals, n_rows: int):
             jnp.take(vals, jnp.minimum(sp, m - 1), axis=0),
             0.0,
         )
-        csum = pallas_scan.cumsum_auto(sv)
+        csum = pallas_scan.cumsum_auto(sv, force=force_pallas)
         _, order = jax.lax.sort(
             (sk & 1 ^ 1, jnp.arange(total, dtype=jnp.int32)),
             num_keys=1,
@@ -573,7 +611,9 @@ def _oct_split_row_sums(idx_flat, vals, n_rows: int):
     _, sd = jax.lax.sort(
         (idx_flat, jnp.arange(m, dtype=jnp.int32)), num_keys=1
     )
-    csum = pallas_scan.cumsum_auto(jnp.take(vals, sd, axis=0))
+    csum = pallas_scan.cumsum_auto(
+        jnp.take(vals, sd, axis=0), force=force_pallas
+    )
 
     (sk,) = jax.lax.sort((keys,), num_keys=1)
     _, order = jax.lax.sort(
@@ -635,7 +675,7 @@ def _oct_split_grad_encode(resolutions_key: tuple, table_size: int):
             vals = (w_l[..., None] * g_l[..., None, :]).reshape(-1, lanes)
             idx_flat = idx_levels[level].reshape(-1).astype(jnp.int32)
             rows_l = level_rows[level]
-            seg = _oct_split_row_sums(idx_flat, vals, rows_l)
+            seg = _row_sums_for_grad(idx_flat, vals, rows_l)
 
             offs = _oct_offsets(int(resolutions_key[level]), table_size)
             p = seg

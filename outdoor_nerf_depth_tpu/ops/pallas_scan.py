@@ -189,15 +189,17 @@ def set_enabled(flag: bool) -> None:
     _ENABLED = bool(flag)
 
 
-def cumsum_auto(x, block_rows: int = 512):
+def cumsum_auto(x, block_rows: int = 512, force: bool = False):
     """Pallas scan on TPU; jnp.cumsum elsewhere (CPU tests, GPU).
 
+    `force=True` bypasses the single-device gate — valid ONLY inside a
+    shard_map body, where the kernel sees a per-device local array.
     ONDT_NO_PALLAS_SCAN=1 forces the jnp path (debugging escape hatch).
     """
     import os
 
     if (
-        _ENABLED
+        (_ENABLED or force)
         and x.ndim == 2
         and LANE % x.shape[1] == 0
         and on_tpu()

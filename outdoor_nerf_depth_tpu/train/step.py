@@ -353,12 +353,17 @@ def _build_step_fn(config: Config, model, cameras=None, camtype="perspective"):
 
 def _configure_pallas_scan(mesh):
     # The hash-grid backward's Pallas prefix scan cannot be auto-partitioned
-    # by SPMD (the scan carry crosses shard boundaries): enable it only for
-    # single-device meshes; multi-device programs keep XLA's partition-aware
-    # cumsum (see ops/pallas_scan.py).
-    from outdoor_nerf_depth_tpu.ops import pallas_scan
+    # by SPMD (the scan carry crosses shard boundaries): enable the direct
+    # path only for single-device meshes. Multi-device meshes instead route
+    # the table-gradient reduction through a shard_map (per-device segment
+    # sums + psum, `hashgrid._row_sums_for_grad`), where the Pallas kernel
+    # is legal per device; `set_grad_mesh` binds the mesh for that. Both
+    # globals are re-bound by the step wrappers right before dispatch, so
+    # the values are correct when jit traces (first call).
+    from outdoor_nerf_depth_tpu.ops import hashgrid, pallas_scan
 
     pallas_scan.set_enabled(len(mesh.devices.flat) == 1)
+    hashgrid.set_grad_mesh(mesh)
 
 
 def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspective"):
@@ -384,6 +389,10 @@ def make_train_step(config: Config, model, mesh, cameras=None, camtype="perspect
     )
 
     def call(state, batch, rng, train_frac, aux=None):
+        # Re-bind right before dispatch: jit traces on the FIRST call, and
+        # another factory (different mesh) may have re-bound the globals
+        # since this factory ran.
+        _configure_pallas_scan(mesh)
         return jitted(state, batch, rng, train_frac, aux)
 
     call.jitted = jitted  # exposes .lower() for AOT cost analysis (bench.py)
@@ -428,6 +437,7 @@ def make_multi_train_step(
     )
 
     def call(state, batches, rngs, train_fracs, aux=None):
+        _configure_pallas_scan(mesh)  # see make_train_step.call
         return jitted(state, batches, rngs, train_fracs, aux)
 
     call.jitted = jitted  # exposes .lower() for AOT cost analysis (bench.py)

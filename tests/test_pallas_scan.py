@@ -63,6 +63,39 @@ class TestCumsum:
         step_lib._configure_pallas_scan(single)
         assert pallas_scan._ENABLED
 
+    def test_shard_map_table_grad_matches_plain(self):
+        """With a multi-device mesh bound, the table gradient runs as
+        per-device segment sums + psum inside shard_map; it must match the
+        unsharded global reduction."""
+        import jax.numpy as jnp
+
+        from outdoor_nerf_depth_tpu import parallel
+        from outdoor_nerf_depth_tpu.ops import hashgrid
+
+        mesh = parallel.make_mesh()
+        res = hashgrid.level_resolutions(4, 4, 64)
+        fn = hashgrid._oct_split_grad_encode(
+            tuple(int(r) for r in res), 2**10
+        )
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.uniform(rng, (256, 3))
+        table = jax.random.normal(jax.random.fold_in(rng, 1), (4, 2**10, 2))
+
+        def loss(x, t):
+            return jnp.sum(jnp.sin(3.0 * fn(x, t)))
+
+        try:
+            hashgrid.set_grad_mesh(None)
+            g_plain = jax.jit(jax.grad(loss, argnums=1))(x, table)
+            hashgrid.set_grad_mesh(mesh)
+            xs = jax.device_put(x, parallel.batch_sharding(mesh))
+            g_shard = jax.jit(jax.grad(loss, argnums=1))(xs, table)
+        finally:
+            hashgrid.set_grad_mesh(None)
+        np.testing.assert_allclose(
+            np.asarray(g_shard), np.asarray(g_plain), rtol=1e-4, atol=2e-5
+        )
+
     def test_auto_fallback_off_tpu(self):
         # On CPU, cumsum_auto must route to jnp and still be correct.
         x = jnp.asarray(
