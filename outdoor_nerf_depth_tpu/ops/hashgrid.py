@@ -577,6 +577,16 @@ def _oct_split_row_sums(idx_flat, vals, n_rows: int,
     Both use the lane-folded Pallas prefix scan on TPU: XLA's cumsum on
     narrow [*, 16] arrays pays the 128-lane tile padding several times
     over (r4: 77 ms at [16.8M, 16] vs a ~3 ms bandwidth floor).
+
+    The permutation gather reads from a BF16 copy of `vals` by default
+    (ONDT_OSPLIT_GRAD_GATHER=f32 restores f32): gather cost is per-row and
+    scales with SOURCE size (r4 roofline: ~16 ns/row at 16 MB vs ~21-27 at
+    32+ MB), and at the bench shape the 16 per-level value gathers are the
+    single largest backward stage (r5 probe: 0.224 s of a 0.286 s
+    fwd+bwd). Each product w*g is rounded to bf16 (~0.4% rel) before the
+    f32 cumsum — the same precision class as the bf16 tables themselves
+    and the fp16 gradient accumulation the reference's tiny-cuda-nn uses
+    (ngp-depth README's tcnn backend).
     """
     import os
 
@@ -584,6 +594,8 @@ def _oct_split_row_sums(idx_flat, vals, n_rows: int,
 
     m = idx_flat.shape[0]
     lanes = vals.shape[-1]
+    if os.environ.get("ONDT_OSPLIT_GRAD_GATHER", "bf16") == "bf16":
+        vals = vals.astype(jnp.bfloat16)
     total = m + n_rows
     keys = jnp.concatenate(
         [idx_flat * 2, jnp.arange(n_rows, dtype=jnp.int32) * 2 + 1]
@@ -596,7 +608,7 @@ def _oct_split_row_sums(idx_flat, vals, n_rows: int,
             (sp < m)[:, None],
             jnp.take(vals, jnp.minimum(sp, m - 1), axis=0),
             0.0,
-        )
+        ).astype(jnp.float32)  # accumulate in f32 regardless of gather dtype
         csum = pallas_scan.cumsum_auto(sv, force=force_pallas)
         _, order = jax.lax.sort(
             (sk & 1 ^ 1, jnp.arange(total, dtype=jnp.int32)),
@@ -612,7 +624,7 @@ def _oct_split_row_sums(idx_flat, vals, n_rows: int,
         (idx_flat, jnp.arange(m, dtype=jnp.int32)), num_keys=1
     )
     csum = pallas_scan.cumsum_auto(
-        jnp.take(vals, sd, axis=0), force=force_pallas
+        jnp.take(vals, sd, axis=0).astype(jnp.float32), force=force_pallas
     )
 
     (sk,) = jax.lax.sort((keys,), num_keys=1)

@@ -337,10 +337,12 @@ class TestHashGrid:
             rtol=1e-4, atol=2e-5,
         )
 
-    def test_osplit_grad_vs_oct_f32_reference(self):
+    def test_osplit_grad_vs_oct_f32_reference(self, monkeypatch):
         """The osplit table gradient (computed in f32 from exact w*g
-        products) must match the oct VJP's table gradient bit-for-bit up
-        to summation order — bf16 only touches the FORWARD features."""
+        products, ONDT_OSPLIT_GRAD_GATHER=f32) must match the oct VJP's
+        table gradient bit-for-bit up to summation order — bf16 only
+        touches the FORWARD features on this path."""
+        monkeypatch.setenv("ONDT_OSPLIT_GRAD_GATHER", "f32")
         rng = jax.random.PRNGKey(33)
         x = jax.random.uniform(rng, (97, 3), minval=0.01, maxval=0.99)
         table = jax.random.normal(jax.random.fold_in(rng, 1), (4, 2**10, 2))
@@ -355,6 +357,39 @@ class TestHashGrid:
             np.asarray(vjp_split(g)[0]),
             np.asarray(vjp_oct(g)[0]),
             rtol=1e-3, atol=1e-5,
+        )
+
+    def test_osplit_grad_bf16_gather_close_to_f32(self, monkeypatch):
+        """The default bf16 gather source (each w*g product rounded to
+        bf16 before the f32 segment accumulation — the speed-of-light
+        choice, gather cost scales with SOURCE bytes) must stay within
+        bf16-grade tolerance of the exact-f32 pipeline."""
+        rng = jax.random.PRNGKey(7)
+        x = jax.random.uniform(rng, (523, 3), minval=0.01, maxval=0.99)
+        table = jax.random.normal(jax.random.fold_in(rng, 1), (4, 2**10, 2))
+        res = hashgrid.level_resolutions(4, 4, 64)
+        fn = hashgrid._oct_split_grad_encode(
+            tuple(int(r) for r in res), 2**10)
+
+        def loss(x, t):
+            return jnp.sum(jnp.sin(3.0 * fn(x, t)))
+
+        grads = {}
+        for mode in ("f32", "bf16"):
+            monkeypatch.setenv("ONDT_OSPLIT_GRAD_GATHER", mode)
+            grads[mode] = jax.jit(jax.grad(loss, argnums=(0, 1)))(x, table)
+        # Table grad: per-element bf16 rounding (~2^-8 rel) accumulated in
+        # f32; x grad is untouched by the gather dtype (exact path).
+        # atol covers catastrophic-cancellation rows whose exact segment
+        # sum is near zero (bf16 rounding leaves an O(1e-2) absolute
+        # residue there while every well-conditioned row matches to rtol).
+        np.testing.assert_allclose(
+            np.asarray(grads["bf16"][1]), np.asarray(grads["f32"][1]),
+            rtol=2e-2, atol=1e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(grads["bf16"][0]), np.asarray(grads["f32"][0]),
+            rtol=1e-5, atol=1e-6,
         )
 
     def test_oct_trimmed_dense_boundary_level(self):
