@@ -21,6 +21,7 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from outdoor_nerf_depth_tpu.ops import hashgrid, occupancy as occ, volren
 
@@ -144,6 +145,14 @@ class HashGridModel(nn.Module):
     grid_resolution: int = 128
     max_samples: int = 128
     n_candidates: int = 512
+    # Average per-ray sample budget for batch-wide compaction (0 = off):
+    # the field runs only on batch*sample_budget slots selected valid-first
+    # by one int sort (ops/occupancy.py batch_compaction_plan) — EXACT
+    # whenever the batch's valid-slot count fits the budget, an effective
+    # per-ray cap while occupancy warms up. Single-chip optimization: the
+    # global sort would cross shards under a multi-device mesh, so leave 0
+    # for sharded training.
+    sample_budget: int = 0
     # None follows the reference rule (`rendering.py:34-37`): exponential
     # (distance-proportional) steps only for unbounded scenes (scale > 0.5);
     # bounded scenes march at constant dt (exp_step_factor = 0).
@@ -293,14 +302,47 @@ class HashGridModel(nn.Module):
         # slots become nearly free instead of costing the full per-row toll.
         pts = jnp.where(valid[..., None], pts, 0.0)
         exposure = getattr(rays, "exposure_values", None)
-        if exposure is not None:
-            exposure = exposure[..., None, :]  # broadcast over samples
-        sigma, rgb = self.field(
-            pts,
-            rays.viewdirs[..., None, :],
-            exposure=exposure,
-            output_radiance=self.output_radiance,
-        )
+        if self.sample_budget and self.sample_budget < self.max_samples:
+            # Batch-wide compaction: run the field only on the valid slots
+            # (plus padding up to the static budget), then expand the
+            # [budget, 4] sigma+rgb stream back onto the dense grid by a
+            # permutation gather whose VJP is the opposite gather.
+            batch_shape = valid.shape[:-1]
+            K = valid.shape[-1]
+            m = int(np.prod(batch_shape)) * K
+            budget = int(np.prod(batch_shape)) * int(self.sample_budget)
+            sel, inv = occ.batch_compaction_plan(valid, budget)
+            pts_c = jnp.take(pts.reshape(m, 3), sel, axis=0)
+            ray_id = sel // K
+            vdirs_c = jnp.take(
+                rays.viewdirs.reshape(-1, 3), ray_id, axis=0
+            )
+            exp_c = None
+            if exposure is not None:
+                exp_c = jnp.take(
+                    exposure.reshape(-1, exposure.shape[-1]), ray_id, axis=0
+                )[:, None, :]
+            sigma_c, rgb_c = self.field(
+                pts_c[:, None, :],
+                vdirs_c[:, None, :],
+                exposure=exp_c,
+                output_radiance=self.output_radiance,
+            )
+            vals_c = jnp.concatenate(
+                [sigma_c[..., None], rgb_c], axis=-1
+            ).reshape(budget, 4)
+            dense = occ.expand_compacted(vals_c, inv, sel)
+            sigma = dense[:, 0].reshape(batch_shape + (K,))
+            rgb = dense[:, 1:].reshape(batch_shape + (K, 3))
+        else:
+            if exposure is not None:
+                exposure = exposure[..., None, :]  # broadcast over samples
+            sigma, rgb = self.field(
+                pts,
+                rays.viewdirs[..., None, :],
+                exposure=exposure,
+                output_radiance=self.output_radiance,
+            )
         sigma = jnp.where(valid, sigma, 0.0)
 
         tau = sigma * dt

@@ -302,6 +302,76 @@ def mean_density(density_grid) -> jax.Array:
 
 
 # --------------------------------------------------------------------------
+# Batch-wide sample compaction.
+# --------------------------------------------------------------------------
+
+
+def batch_compaction_plan(valid, budget_total: int):
+    """Static-shape plan to evaluate the field only on valid sample slots.
+
+    Fixed-width marching leaves the [R, K] sample grid mostly dead once the
+    occupancy grid matures (KITTI fixture at step 1500: ~26 of 128 slots
+    valid), yet the field still pays encode+MLP for every slot — the TPU
+    answer to the reference's variable-length packed rays
+    (`ngp-depth/models/csrc/raymarching.cu` marks rays/samples contiguously)
+    is ONE cheap int sort, not dynamic shapes.
+
+    Sort key `(~valid)*256 + slot_j` puts valid slots first ordered by
+    intra-ray slot index, so when #valid > budget the OVERFLOW DROPS THE
+    FARTHEST samples of every ray uniformly (an effective per-ray sample
+    cap, transient while occupancy warms up) instead of dropping whole
+    trailing rays. When #valid <= budget the compaction is EXACT — every
+    valid slot is evaluated.
+
+    Returns (sel [budget], inv [m]): `sel` = flat slot ids to evaluate;
+    `inv[i]` = rank of flat slot i (>= budget means dropped/unselected).
+    """
+    m = valid.size
+    flat = valid.reshape(m)
+    j = jnp.broadcast_to(
+        jnp.arange(valid.shape[-1], dtype=jnp.int32), valid.shape
+    ).reshape(m)
+    key = jnp.where(flat, 0, 256) + j
+    _, order = jax.lax.sort(
+        (key, jnp.arange(m, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    # Inverse permutation by one more int sort (a scatter would cost
+    # ~107 ns/row at this size — the r4 roofline — vs ~milliseconds here).
+    _, inv = jax.lax.sort(
+        (order, jnp.arange(m, dtype=jnp.int32)), num_keys=1
+    )
+    return order[:budget_total], inv
+
+
+def expand_compacted(vals_c, inv, sel):
+    """Expand compacted per-sample values [budget, C] back to the dense
+    flat grid [m, C]; unselected slots read 0.
+
+    The forward is a permutation gather (plus one zero sentinel row). The
+    VJP is the OPPOSITE permutation gather — declared via custom_vjp
+    because XLA's default transpose of a gather is a scatter-add
+    (~107 ns/row), which would cost more than the compaction saves.
+    """
+    budget = vals_c.shape[0]
+
+    @jax.custom_vjp
+    def _expand(v):
+        padded = jnp.concatenate(
+            [v, jnp.zeros((1,) + v.shape[1:], v.dtype)], axis=0
+        )
+        return jnp.take(padded, jnp.minimum(inv, budget), axis=0)
+
+    def _fwd(v):
+        return _expand(v), None
+
+    def _bwd(_, g):
+        return (jnp.take(g, sel, axis=0),)
+
+    _expand.defvjp(_fwd, _bwd)
+    return _expand(vals_c)
+
+
+# --------------------------------------------------------------------------
 # Ray-box intersection + masked fixed-width marching.
 # --------------------------------------------------------------------------
 

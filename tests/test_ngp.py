@@ -659,6 +659,89 @@ class TestHashGridModel:
         table_grads = [v for k, v in leaves.items() if "table" in k]
         assert table_grads and float(jnp.abs(table_grads[0]).sum()) > 0
 
+    def test_sample_budget_exact_when_no_overflow(self, model_and_vars):
+        """With budget >= max_samples' worth of valid slots the compacted
+        render must equal the dense render exactly (same points, same
+        field, only evaluation order differs), outputs AND gradients."""
+        from tests.test_models import _unit_sphere_rays
+
+        model, variables = model_and_vars
+        # Force the sorted-segment f32 table gradient (the TPU path):
+        # grad_mode="auto" on CPU falls back to plain AD, whose cotangent
+        # accumulates THROUGH the f32->bf16 physical-table cast in bf16
+        # granularity — order-dependent at ~2^-11, which would swamp this
+        # equivalence check with batch-arrangement noise.
+        fp = dict(model.field_params or {})
+        fp["grad_mode"] = "sorted"
+        model = model.clone(field_params=fp)
+        compact = model.clone(sample_budget=model.max_samples - 1)
+        # All slots valid here (no occupancy grid -> dense marching), so a
+        # budget of K-1 would overflow; use an occupancy grid that blanks
+        # most of space to create realistic sparsity instead.
+        grid = occ.init_grid(0.5, model.grid_resolution)
+        # Occupy only the central cells: rays get few valid samples.
+        g0 = np.array(grid)
+        g0[:, :] = 0.0
+        res = model.grid_resolution
+        dens = g0.reshape(g0.shape[0], res, res, res)
+        dens[:, res // 4: 3 * res // 4,
+             res // 4: 3 * res // 4,
+             res // 4: 3 * res // 4] = 1.0
+        grid = jnp.asarray(dens.reshape(g0.shape))
+        rays = _unit_sphere_rays(n=8, seed=11)
+
+        with jax.default_matmul_precision("float32"):
+            out_d, hist_d = model.apply(variables, None, rays,
+                                        occupancy=grid)
+            out_c, hist_c = compact.apply(variables, None, rays,
+                                          occupancy=grid)
+        n_valid = int(np.asarray(hist_d[-1]["valid"]).sum())
+        assert 0 < n_valid <= 8 * (model.max_samples - 1)  # no overflow
+        for k in ("rgb", "depth", "acc"):
+            np.testing.assert_allclose(
+                np.asarray(out_c[-1][k]), np.asarray(out_d[-1][k]),
+                rtol=1e-5, atol=1e-6, err_msg=k,
+            )
+
+        def loss(m):
+            def f(v):
+                r, _ = m.apply(v, None, rays, occupancy=grid)
+                return jnp.mean((r[-1]["rgb"] - 0.4) ** 2)
+            return f
+
+        with jax.default_matmul_precision("float32"):
+            gd = jax.grad(loss(model))(variables)
+            gc = jax.grad(loss(compact))(variables)
+        for (pd, xd), (pc, xc) in zip(
+            jax.tree_util.tree_leaves_with_path(gd),
+            jax.tree_util.tree_leaves_with_path(gc),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(xc), np.asarray(xd), rtol=5e-3, atol=1e-6,
+                err_msg=jax.tree_util.keystr(pd),
+            )
+
+    def test_sample_budget_overflow_caps_per_ray(self, model_and_vars):
+        """Dense marching (every slot valid) with a small budget must keep
+        each ray's FIRST `budget` samples — uniform per-ray cap, never
+        whole-ray drops — and still render finite outputs."""
+        from tests.test_models import _unit_sphere_rays
+
+        model, variables = model_and_vars
+        budget = 4
+        compact = model.clone(sample_budget=budget)
+        rays = _unit_sphere_rays(n=8, seed=12)
+        out_c, _ = compact.apply(variables, None, rays)  # no grid: all valid
+        r = out_c[-1]
+        assert np.all(np.isfinite(np.asarray(r["rgb"])))
+        # Every ray keeps exactly `budget` slots: acc from a truncated
+        # dense render equals the dense render truncated to first 4 slots.
+        out_d, hist_d = model.apply(variables, None, rays)
+        w_d = np.asarray(hist_d[-1]["weights"])[:, :budget]
+        np.testing.assert_allclose(
+            np.asarray(r["acc"]), w_d.sum(-1), rtol=1e-5, atol=1e-6
+        )
+
     def test_hdr_tonemapper_path(self):
         from tests.test_models import _unit_sphere_rays
 
