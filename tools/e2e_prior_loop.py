@@ -155,13 +155,23 @@ def run_nerf(scene: str, work: str, backend: str, sup_type: str, steps: int,
     from outdoor_nerf_depth_tpu.train.config import load_config
     from outdoor_nerf_depth_tpu.train.loop import evaluate, train
 
+    # The rgbonly baseline must still LOAD gt depth (for eval metrics):
+    # depth_sup_type=rgbonly makes the loader skip depth entirely and the
+    # depth-RMSE comparison column vanishes (same pitfall documented in
+    # tools/fixture_ablation.py) — so train it as lambda_depth=0 with
+    # depth_sup_type=gt.
+    sup_overrides = (
+        ["depth_sup_type=gt", "lambda_depth=0.0"]
+        if sup_type == "rgbonly"
+        else [f"depth_sup_type={sup_type}"]
+    )
     config = load_config(
         NERF_CONFIGS[backend],
         [
             f"scene_dir={scene}",
             f"exp_dir={os.path.join(work, f'{backend}_{sup_type}')}",
             f"max_steps={steps}",
-            f"depth_sup_type={sup_type}",
+            *sup_overrides,
             f"sample_every={sample_every}",
             "print_every=500",
             "train_render_every=0",
@@ -224,8 +234,16 @@ def main(argv):
             raise FileNotFoundError(
                 f"run stages=prior first: no depths_{PRIOR_NAME} in {scene}"
             )
+        cached = {r["depth_sup_type"]: r
+                  for r in results.get("nerf_runs", [])
+                  if r.get("metrics", {}).get("rmse") is not None
+                  and r.get("steps") == nerf_steps}
         runs = []
         for sup in (PRIOR_NAME, "rgbonly"):
+            if sup in cached:
+                print(f"=== nerf leg: {sup}: cached ===", flush=True)
+                runs.append(cached[sup])
+                continue
             print(f"=== nerf leg: {sup} ===", flush=True)
             runs.append(run_nerf(scene, work, backend, sup, nerf_steps,
                                  sample_every))
