@@ -540,9 +540,15 @@ def set_grad_mesh(mesh) -> None:
 
 def _row_sums_for_grad(idx_flat, vals, n_rows: int):
     """Dispatch the per-level segment sum: shard-local + psum on a
-    multi-device mesh, plain global otherwise."""
+    multi-device mesh, plain global otherwise.
+
+    Falls back to the global path when the sample count doesn't divide
+    the mesh (shard_map would reject it): the bound mesh describes the
+    TRAIN step's batch sharding, but the encoder is also called on
+    arbitrary-sized point sets (occupancy refreshes, tests, viewer
+    probes) that may not be sharded at all."""
     mesh = _GRAD_MESH
-    if mesh is None:
+    if mesh is None or idx_flat.shape[0] % len(mesh.devices.flat):
         return _oct_split_row_sums(idx_flat, vals, n_rows)
     from jax.sharding import PartitionSpec as P
 

@@ -27,3 +27,18 @@ jax.config.update("jax_platforms", "cpu")
 import outdoor_nerf_depth_tpu as _ondt  # noqa: E402
 
 _ondt.enable_compilation_cache()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_hashgrid_grad_mesh():
+    """The train-step factories bind a module-global mesh for the
+    hash-table gradient's shard-local path (ops/hashgrid.set_grad_mesh);
+    sharded-step tests must not leak it into later single-device encoder
+    tests (the full-suite-only failures of r5)."""
+    yield
+    from outdoor_nerf_depth_tpu.ops import hashgrid
+
+    hashgrid.set_grad_mesh(None)
